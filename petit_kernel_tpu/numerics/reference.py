@@ -1,0 +1,119 @@
+"""Host-side reference dequantization and GEMM oracles.
+
+These are the numpy analogs of the reference's standalone dequant kernels
+(lib/gemm/rocm/quantization/quantization_utils.cu:306-727, the four
+DequantizeFp4Kernel flavors) and its pure-torch test reference
+(tests/ops/test_fp4_gemm_quark.py:9-24).  Every fused TPU kernel is tested
+against these.
+
+Canonical quantized-checkpoint layout (identical to the reference inputs):
+  qweights : uint8 (n, k//2)   two E2M1 nibbles per byte, low nibble = even k
+  scales   : uint8 (n, k//16)  raw E4M3 bytes      (NVFP4, group size 16)
+             uint8 (n, k//32)  raw E8M0 bytes      (MXFP4, group size 32)
+  global_scale : float32 scalar (NVFP4 and MXFP4 both multiply it in; the
+             reference applies it as the GEMM epilogue alpha,
+             lib/gemm/rocm/quantization/qgemm.cuh:144-157)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import formats
+
+
+def dequant_nvfp4(qweights: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Dequantize NVFP4 (n, k//2) bytes + (n, k//16) E4M3 scales -> f32 (n, k).
+
+    Does NOT apply the global scale (matching the reference's per-block
+    dequant; global scale is a GEMM epilogue concern).
+    """
+    n, kb = qweights.shape
+    k = kb * 2
+    assert scales.shape == (n, k // formats.NVFP4_GROUP_SIZE), (
+        f"scales shape {scales.shape} != {(n, k // 16)}")
+    nib = formats.unpack_fp4_pairs(qweights)          # (n, k)
+    vals = formats.fp4_decode(nib)                    # f32
+    s = formats.e4m3_decode(scales)                   # (n, k/16) f32
+    return (vals.reshape(n, -1, formats.NVFP4_GROUP_SIZE)
+            * s[:, :, None]).reshape(n, k)
+
+
+def dequant_mxfp4(qweights: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Dequantize MXFP4 (n, k//2) bytes + (n, k//32) E8M0 scales -> f32 (n, k)."""
+    n, kb = qweights.shape
+    k = kb * 2
+    assert scales.shape == (n, k // formats.MXFP4_GROUP_SIZE)
+    nib = formats.unpack_fp4_pairs(qweights)
+    vals = formats.fp4_decode(nib)
+    s = formats.e8m0_decode(scales)
+    return (vals.reshape(n, -1, formats.MXFP4_GROUP_SIZE)
+            * s[:, :, None]).reshape(n, k)
+
+
+def gemm_reference(a: np.ndarray, qweights: np.ndarray, scales: np.ndarray,
+                   global_scale: float, *, fmt: str = "nvfp4") -> np.ndarray:
+    """Oracle for mul_{nv,mx}fp4_a16: c = (a_f32 @ deq(B).T * gs).astype(a.dtype).
+
+    a: (m, k) bf16/f16/f32; returns (m, n) in a.dtype. Mirrors
+    tests/ops/test_fp4_gemm_quark.py:23-24,52-54.
+    """
+    deq = dequant_nvfp4 if fmt == "nvfp4" else dequant_mxfp4
+    b = deq(qweights, scales) * np.float32(global_scale)   # (n, k)
+    c = a.astype(np.float32) @ b.T
+    return c.astype(a.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantizers — fabricate NVFP4/MXFP4 checkpoints from dense f32 weights.
+# ModelOpt-style: positive scales, amax-based. Used for tests and for
+# quantizing HF bf16 checkpoints when no pre-quantized one is available.
+# ---------------------------------------------------------------------------
+
+def quantize_nvfp4(w: np.ndarray):
+    """Quantize dense (n, k) f32 -> (qweights u8 (n,k/2), scales u8 (n,k/16),
+    global_scale f32).
+
+    Two-level scheme: per-16 group amax maps the group into [-6, 6] via an
+    E4M3 scale; a single f32 global scale folds the E4M3 quantization of the
+    per-group scales. global_scale = amax(w) / (6 * 448) per ModelOpt recipe.
+    """
+    n, k = w.shape
+    g = formats.NVFP4_GROUP_SIZE
+    assert k % g == 0
+    w = w.astype(np.float32)
+    amax = np.abs(w).max()
+    global_scale = np.float32(amax / (6.0 * 448.0)) if amax > 0 else np.float32(1.0)
+    wg = w.reshape(n, k // g, g)
+    gmax = np.abs(wg).max(axis=-1)                         # (n, k/g)
+    scale_f = gmax / 6.0 / global_scale                    # target E4M3 value
+    scales = formats.e4m3_encode(np.maximum(scale_f, 2.0 ** -9))
+    s_dec = formats.e4m3_decode(scales)                    # actual stored scale
+    # Round scales UP to the next representable E4M3 so group values stay in
+    # [-6, 6] after scaling (no FP4 saturation). E4M3 is monotonic in its
+    # byte value for positives, so +1 steps to the next magnitude.
+    bump = (s_dec < scale_f) & (scales < 0x7E)
+    scales = np.where(bump, scales + 1, scales).astype(np.uint8)
+    s_dec = formats.e4m3_decode(scales)
+    denom = s_dec * global_scale
+    denom = np.where(denom == 0, 1.0, denom)
+    q = formats.fp4_encode(wg / denom[:, :, None])
+    return formats.pack_fp4_pairs(q.reshape(n, k)), scales, global_scale
+
+
+def quantize_mxfp4(w: np.ndarray):
+    """Quantize dense (n, k) f32 -> (qweights u8 (n,k/2), scales u8 (n,k/32),
+    global_scale f32=1.0). Scale = power-of-two s.t. group amax maps <= 6."""
+    n, k = w.shape
+    g = formats.MXFP4_GROUP_SIZE
+    assert k % g == 0
+    w = w.astype(np.float32)
+    wg = w.reshape(n, k // g, g)
+    gmax = np.abs(wg).max(axis=-1)
+    gmax = np.where(gmax == 0, 1.0, gmax)
+    # Largest power of two <= gmax/6 rounded up so values fit in [-6, 6].
+    e = np.ceil(np.log2(gmax / 6.0)).astype(np.int32)
+    scales = np.clip(e + 127, 1, 254).astype(np.uint8)
+    s_dec = formats.e8m0_decode(scales)
+    q = formats.fp4_encode(wg / s_dec[:, :, None])
+    return formats.pack_fp4_pairs(q.reshape(n, k)), scales, np.float32(1.0)

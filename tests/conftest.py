@@ -1,0 +1,12 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real-TPU runs are exercised by bench.py / __graft_entry__.py, not pytest.
+Must set flags before jax initializes its backends.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
