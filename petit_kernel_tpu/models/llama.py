@@ -1,0 +1,280 @@
+"""Llama-3 family inference model with NVFP4/MXFP4 weight-only linears.
+
+The reference delegates serving to SGLang/vLLM (README.md:21); the north star
+requires a native TPU serving path, so this is new-build territory: a pure-JAX
+Llama (RMSNorm / RoPE / GQA / SwiGLU) whose projection weights live in the
+petit-tpu FP4 layout and run through the fused Pallas GEMM.
+
+Weights are a plain pytree:
+  dense linear   : {"w": bf16 (k, n)}
+  quantized linear: {"words": u32 (k/8, n), "scales": u8 (k/group, n),
+                     "gs": f32 scalar}
+so the same forward works for BF16 baselines and FP4, enabling MMLU-delta
+style comparisons (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..numerics import reference as ref_numerics
+from ..ops import layout as layout_mod
+from ..ops import gemm as gemm_mod
+from ..ops.solution import ElementB
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 2048
+
+    @staticmethod
+    def llama3_8b(**kw):
+        return LlamaConfig(**{**dict(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128), **kw})
+
+    @staticmethod
+    def llama3_70b(**kw):
+        return LlamaConfig(**{**dict(
+            vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+            num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128), **kw})
+
+    @staticmethod
+    def tiny(**kw):
+        """Small config for tests/compile checks; same code path."""
+        return LlamaConfig(**{**dict(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            max_seq_len=128), **kw})
+
+
+# ---------------------------------------------------------------------------
+# Linear layers
+# ---------------------------------------------------------------------------
+
+def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
+    """Dense (k, n) f32/bf16 -> quantized FP4 layer dict."""
+    w = np.asarray(w_kn, np.float32).T  # (n, k): checkpoint orientation
+    if fmt == "nvfp4":
+        qw, scales, gs = ref_numerics.quantize_nvfp4(w)
+        group = 16
+    else:
+        qw, scales, gs = ref_numerics.quantize_mxfp4(w)
+        group = 32
+    n, k = w.shape
+    words = layout_mod.repack_fp4_weights(qw, n, k)
+    st = layout_mod.process_fp4_scales(scales, n, k, group_size=group)
+    return {"words": jnp.asarray(words), "scales": jnp.asarray(st),
+            "gs": jnp.float32(gs)}
+
+
+def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
+           interpret: bool = False) -> jax.Array:
+    """y = x @ W for dense or FP4-quantized layer dicts. x: (..., k)."""
+    *lead, k = x.shape
+    if "w" in layer:
+        return jnp.dot(x, layer["w"], preferred_element_type=jnp.float32
+                       ).astype(x.dtype)
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    n = layer["words"].shape[1]
+    mul = gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4" else gemm_mod.mul_mxfp4_a16
+    y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n, k,
+            -1, interpret=interpret)
+    return y.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LlamaConfig, key: jax.Array,
+                dtype=jnp.bfloat16) -> dict:
+    """Random-init dense params (testing / synthetic benchmarks)."""
+    ks = jax.random.split(key, cfg.num_layers + 2)
+    h, q = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    kv = cfg.num_kv_heads * cfg.head_dim
+    f = cfg.intermediate_size
+
+    def dense(key, k, n, scale=None):
+        scale = scale or (1.0 / np.sqrt(k))
+        return {"w": (jax.random.normal(key, (k, n), jnp.float32) * scale
+                      ).astype(dtype)}
+
+    def layer_params(key):
+        sk = jax.random.split(key, 7)
+        return {
+            "attn_norm": jnp.ones((h,), dtype),
+            "wq": dense(sk[0], h, q),
+            "wk": dense(sk[1], h, kv),
+            "wv": dense(sk[2], h, kv),
+            "wo": dense(sk[3], q, h),
+            "mlp_norm": jnp.ones((h,), dtype),
+            "w_gate": dense(sk[4], h, f),
+            "w_up": dense(sk[5], h, f),
+            "w_down": dense(sk[6], f, h),
+        }
+
+    return {
+        "embed": (jax.random.normal(ks[0], (cfg.vocab_size, h), jnp.float32)
+                  * 0.02).astype(dtype),
+        "layers": [layer_params(ks[i + 1]) for i in range(cfg.num_layers)],
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": dense(ks[-1], h, cfg.vocab_size, scale=0.02),
+    }
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params: dict, fmt: str = "nvfp4",
+                    min_k: int = 128) -> dict:
+    """Quantize every projection weight to FP4 (embed/lm_head stay dense,
+    like ModelOpt checkpoints the reference consumes, README.md:31)."""
+    out = {"embed": params["embed"], "final_norm": params["final_norm"],
+           "lm_head": params["lm_head"], "layers": []}
+    for lp in params["layers"]:
+        q = dict(lp)
+        for name in _QUANT_KEYS:
+            w = np.asarray(lp[name]["w"], np.float32)
+            if w.shape[0] % min_k == 0 and w.shape[1] % 16 == 0:
+                q[name] = quantize_linear(w, fmt)
+        out["layers"].append(q)
+    return out
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
+    """x: (B, T, H, D), pos: (B, T) absolute positions."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = pos[..., None].astype(jnp.float32)[..., None, :] * 1.0  # (B,T,1,1)
+    ang = pos[:, :, None, None].astype(jnp.float32) * freqs  # (B,T,1,d/2)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., ::2], x[..., 1::2]
+    xr1 = x1 * cos - x2 * sin
+    xr2 = x1 * sin + x2 * cos
+    return jnp.stack([xr1, xr2], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret):
+    B, T, H = x.shape
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    lin = functools.partial(linear, fmt=fmt, interpret=interpret)
+    q = lin(x, lp["wq"]).reshape(B, T, nq, d)
+    k = lin(x, lp["wk"]).reshape(B, T, nkv, d)
+    v = lin(x, lp["wv"]).reshape(B, T, nkv, d)
+    q = rope(q, pos, cfg.rope_theta)
+    k = rope(k, pos, cfg.rope_theta)
+
+    if cache is not None:
+        ck, cv = cache  # (B, S, nkv, d)
+        start = pos[0, 0]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
+        k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
+        new_cache = (ck, cv)
+        S = ck.shape[1]
+        kv_pos = jnp.arange(S)[None, :]
+        valid = kv_pos <= (pos[:, -1:])  # causal against absolute positions
+        attn_mask = valid[:, None, None, :]  # (B,1,1,S)
+    else:
+        k_all, v_all = k, v
+        new_cache = None
+        attn_mask = mask  # (1,1,T,T) causal
+
+    # GQA: repeat kv heads
+    rep = nq // nkv
+    k_all = jnp.repeat(k_all, rep, axis=2)
+    v_all = jnp.repeat(v_all, rep, axis=2)
+
+    qf = q.astype(jnp.float32) / np.sqrt(d)
+    logits = jnp.einsum("bthd,bshd->bhts", qf, k_all.astype(jnp.float32))
+    logits = jnp.where(attn_mask, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", p, v_all.astype(jnp.float32))
+    o = o.reshape(B, T, nq * d).astype(x.dtype)
+    return lin(o, lp["wo"]), new_cache
+
+
+def mlp(x, lp, *, fmt, interpret):
+    lin = functools.partial(linear, fmt=fmt, interpret=interpret)
+    g = lin(x, lp["w_gate"])
+    u = lin(x, lp["w_up"])
+    return lin(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
+               lp["w_down"])
+
+
+def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
+            fmt: str = "nvfp4", interpret: bool = False):
+    """tokens (B, T) -> logits (B, T, V); cache: list of per-layer (k, v) or
+    None for full-sequence (prefill/eval) mode."""
+    B, T = tokens.shape
+    x = params["embed"][tokens]
+    if pos is None:
+        pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    new_cache = []
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        a, c = attention(h, lp, None if cache is None else cache[i],
+                         pos, cfg, mask, fmt=fmt, interpret=interpret)
+        x = x + a
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + mlp(h, lp, fmt=fmt, interpret=interpret)
+        new_cache.append(c)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = linear(x, params["lm_head"], fmt=fmt, interpret=interpret)
+    return logits, (new_cache if cache is not None else None)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+    return [
+        (jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim),
+                   dtype),
+         jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim),
+                   dtype))
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def greedy_decode(params, cfg: LlamaConfig, prompt_tokens, max_new: int, *,
+                  fmt: str = "nvfp4", interpret: bool = False):
+    """Greedy generation: prefill then token-by-token decode with KV cache."""
+    B, T0 = prompt_tokens.shape
+    cache = init_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T0)[None, :], (B, T0))
+    logits, cache = forward(params, prompt_tokens, cfg, cache, pos,
+                            fmt=fmt, interpret=interpret)
+    tok = jnp.argmax(logits[:, -1], axis=-1)
+    out = [tok]
+
+    step_fn = functools.partial(forward, cfg=cfg, fmt=fmt, interpret=interpret)
+    if not interpret:
+        step_fn = jax.jit(step_fn, static_argnames=())
+    for t in range(max_new - 1):
+        p = jnp.full((B, 1), T0 + t, jnp.int32)
+        logits, cache = step_fn(params, tok[:, None], cache=cache, pos=p)
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+        out.append(tok)
+    return jnp.stack(out, axis=1)

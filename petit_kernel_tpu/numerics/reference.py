@@ -70,20 +70,25 @@ def gemm_reference(a: np.ndarray, qweights: np.ndarray, scales: np.ndarray,
 # quantizing HF bf16 checkpoints when no pre-quantized one is available.
 # ---------------------------------------------------------------------------
 
-def quantize_nvfp4(w: np.ndarray):
+def quantize_nvfp4(w: np.ndarray, global_scale: float | None = None):
     """Quantize dense (n, k) f32 -> (qweights u8 (n,k/2), scales u8 (n,k/16),
     global_scale f32).
 
     Two-level scheme: per-16 group amax maps the group into [-6, 6] via an
     E4M3 scale; a single f32 global scale folds the E4M3 quantization of the
     per-group scales. global_scale = amax(w) / (6 * 448) per ModelOpt recipe.
+    Pass global_scale explicitly to share one value across tensor-parallel
+    shards of the same weight.
     """
     n, k = w.shape
     g = formats.NVFP4_GROUP_SIZE
     assert k % g == 0
     w = w.astype(np.float32)
-    amax = np.abs(w).max()
-    global_scale = np.float32(amax / (6.0 * 448.0)) if amax > 0 else np.float32(1.0)
+    if global_scale is None:
+        amax = np.abs(w).max()
+        global_scale = (np.float32(amax / (6.0 * 448.0)) if amax > 0
+                        else np.float32(1.0))
+    global_scale = np.float32(global_scale)
     wg = w.reshape(n, k // g, g)
     gmax = np.abs(wg).max(axis=-1)                         # (n, k/g)
     scale_f = gmax / 6.0 / global_scale                    # target E4M3 value

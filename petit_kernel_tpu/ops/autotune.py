@@ -1,0 +1,167 @@
+"""Offline autotuner: enumerate -> time -> persist best solution per shape.
+
+TPU analog of the reference's `bench_matmul --algo tune` flow
+(tools/benchmarks/matmul/main.cc:269-325): for each problem shape, time every
+feasible kernel config (warmup + repeat, wall clock around a synchronized
+call) and keep the fastest.  The reference README "strongly recommends"
+offline tuning because kernels are hyperparameter-sensitive (README.md:35);
+the same holds for Pallas block shapes per TPU generation.
+
+Unlike the reference (234 precompiled kernels, cheap to enumerate), every
+Pallas config costs a Mosaic compile, so the candidate set is pruned around
+the heuristic default before timing.
+
+Tables persist as JSON keyed by SolutionId.repr() analog, per TPU generation
+(jax.devices()[0].device_kind), under tuned/.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gemm as gemm_mod
+from . import solution as solution_mod
+from .kernels import fused
+from .solution import SolutionId, ElementB, MatmulType
+
+_TABLE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "tuned")
+
+
+def _device_kind() -> str:
+    return jax.devices()[0].device_kind.replace(" ", "_")
+
+
+def table_path(kind: str | None = None) -> str:
+    return os.path.join(_TABLE_DIR, f"{kind or _device_kind()}.json")
+
+
+def candidate_solutions(m: int, n: int, k: int,
+                        element_b: ElementB = ElementB.NVFP4,
+                        mfma_type: MatmulType = MatmulType.BF16,
+                        max_candidates: int = 24) -> list[SolutionId]:
+    """Pruned candidate set: snug block_m choices, mid-to-large n/k blocks."""
+    sols = solution_mod.get_solutions(m, n, k, element_b, mfma_type)
+    m_cover = max(16, 1 << (max(m - 1, 1)).bit_length())
+    good_bm = {min(m_cover, 512), min(2 * m_cover, 512), 16}
+
+    def score(s: SolutionId):
+        # prefer snug m, larger streaming blocks
+        return (s.block_m not in good_bm, abs(s.block_m - m_cover),
+                -(s.block_n * s.block_k))
+
+    sols = [s for s in sols if s.block_m in good_bm] or sols
+    sols.sort(key=score)
+    return sols[:max_candidates]
+
+
+def time_solution(sid: SolutionId, a, b, s, gs, *, warmup=2, repeat=8) -> float:
+    fn = jax.jit(lambda a, b, s: fused.fused_mul(
+        a, b, s, gs, sid=sid,
+        out_dtype=jnp.float32 if sid.high_precision else jnp.bfloat16))
+    try:
+        out = fn(a, b, s)
+        jax.block_until_ready(out)
+    except Exception:
+        return math.inf
+    for _ in range(warmup):
+        out = fn(a, b, s)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeat):
+        out = fn(a, b, s)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeat
+
+
+def tune_shape(m: int, n: int, k: int,
+               element_b: ElementB = ElementB.NVFP4,
+               mfma_type: MatmulType = MatmulType.BF16,
+               *, verbose: bool = False, update_table: bool = True,
+               max_candidates: int = 24) -> SolutionId:
+    """Tune one shape on the current device; returns the fastest SolutionId
+    and (by default) records it in the in-memory dispatch table."""
+    rng = np.random.default_rng(1234)
+    group = 16 if element_b == ElementB.NVFP4 else 32
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2 ** 32, size=(k // 8, n),
+                                 dtype=np.uint64).astype(np.uint32))
+    # strip negative-zero nibbles to respect the kernel invariant
+    bn = np.asarray(b)
+    for shift in range(0, 32, 4):
+        nib = (bn >> shift) & 0xF
+        bn = np.where(nib == 8, bn & ~np.uint32(0xF << shift), bn)
+    b = jnp.asarray(bn)
+    s = jnp.asarray(
+        ((rng.integers(4, 11, size=(k // group, n), dtype=np.uint8) << 3)
+         | rng.integers(0, 8, size=(k // group, n), dtype=np.uint8))
+        if element_b == ElementB.NVFP4 else
+        rng.integers(110, 140, size=(k // group, n), dtype=np.uint8))
+    gs = jnp.float32(1.0)
+
+    best, best_t = None, math.inf
+    for sid in candidate_solutions(m, n, k, element_b, mfma_type,
+                                   max_candidates):
+        t = time_solution(sid, a, b, s, gs)
+        if verbose:
+            tf = 2 * m * n * k / t / 1e12 if t < math.inf else 0.0
+            print(f"#   {sid.block_m:4d}x{sid.block_n:5d}x{sid.block_k:5d}"
+                  f"  {t * 1e6:10.1f} us  {tf:7.2f} TFLOP/s")
+        if t < best_t:
+            best, best_t = sid, t
+    assert best is not None
+    if update_table:
+        key = (gemm_mod._m_bucket(m), n, k, int(element_b), int(mfma_type),
+               False)
+        gemm_mod._TUNED_TABLE[key] = best.repr()
+    return best
+
+
+def tune_suite(shapes: Sequence[tuple[int, int, int]],
+               element_b: ElementB = ElementB.NVFP4,
+               *, verbose: bool = False, save: bool = True) -> dict:
+    """Tune a suite of (m, n, k) shapes and persist the table."""
+    for (m, n, k) in shapes:
+        sid = tune_shape(m, n, k, element_b, verbose=verbose)
+        if verbose:
+            print(f"# best for m={m} n={n} k={k}: {sid}")
+    if save:
+        save_table()
+    return dict(gemm_mod._TUNED_TABLE)
+
+
+def save_table(kind: str | None = None) -> str:
+    os.makedirs(_TABLE_DIR, exist_ok=True)
+    path = table_path(kind)
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.update({",".join(map(str, k)): v
+                     for k, v in gemm_mod._TUNED_TABLE.items()})
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1, sort_keys=True)
+    return path
+
+
+def load_table(kind: str | None = None) -> bool:
+    """Load the persisted table for this device kind into the dispatcher."""
+    path = table_path(kind)
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        raw = json.load(f)
+    table = {}
+    for ks, v in raw.items():
+        parts = ks.split(",")
+        table[(int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]),
+               int(parts[4]), parts[5] == "True")] = v
+    gemm_mod.set_tuned_table(table)
+    return True

@@ -1,0 +1,151 @@
+"""Public GEMM entry points + runtime dispatch.
+
+TPU analog of the reference host dispatch layer
+(lib/gemm/rocm/quantization/fp4/gemm_fp4_fp16_grid.cc:36-95 and
+lib/pybind/fp4.cc:163-283): validates the problem, resolves solution_id == -1
+through the autotune table then the heuristic chooser, and invokes the fused
+Pallas kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import solution as solution_mod
+from .solution import SolutionId, ElementB, MatmulType
+from .kernels import fused
+
+# Lazily populated by autotune.load_table(); maps
+# (m_bucket, n, k, element_b, mfma, hp) -> SolutionId repr.
+_TUNED_TABLE: dict = {}
+
+
+def set_tuned_table(table: dict) -> None:
+    _TUNED_TABLE.clear()
+    _TUNED_TABLE.update(table)
+
+
+def _m_bucket(m: int) -> int:
+    """Bucket m for table lookup: exact for small decode batches, then
+    power-of-two buckets (the reference tunes per exact shape; buckets let
+    one table generalize across ragged batch sizes)."""
+    if m <= 32:
+        return m
+    b = 64
+    while b < m:
+        b *= 2
+    return b
+
+
+def resolve_solution(m: int, n: int, k: int,
+                     element_b: ElementB,
+                     mfma_type: MatmulType = MatmulType.BF16,
+                     high_precision: bool = False,
+                     solution_id: int = -1) -> SolutionId:
+    """solution_id semantics match the reference (fp4.cc:189-199):
+    -1 -> tuned table, then heuristic; otherwise an explicit SolutionId.repr()
+    which must be feasible or ValueError (kErrorKernelShape analog)."""
+    if solution_id is not None and solution_id >= 0:
+        sid = SolutionId.from_repr(solution_id)
+        if sid.element_b != element_b:
+            raise ValueError(
+                f"solution {sid} element_b mismatch (want {element_b})")
+        if not solution_mod.is_feasible(sid, m, n, k):
+            raise ValueError(
+                f"solution {sid} infeasible for m={m} n={n} k={k} "
+                "(kErrorKernelShape)")
+        return sid
+    key = (_m_bucket(m), n, k, int(element_b), int(mfma_type),
+           bool(high_precision))
+    if key in _TUNED_TABLE:
+        sid = SolutionId.from_repr(_TUNED_TABLE[key])
+        if solution_mod.is_feasible(sid, m, n, k):
+            return sid
+    return solution_mod.choose_default_solution(
+        m, n, k, element_b, mfma_type, high_precision)
+
+
+def _validate_and_prepare(a, b, s, m, n, k, group: int):
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    s = jnp.asarray(s)
+    if a.ndim != 2 or a.shape != (m, k):
+        raise ValueError(f"a must be (m, k) = {(m, k)}, got {a.shape}")
+    if a.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32):
+        raise ValueError(f"a dtype must be bf16/f16/f32, got {a.dtype}")
+    if b.dtype != jnp.uint32 and b.dtype != jnp.int32:
+        raise ValueError(f"b must be the uint32 repacked weights, got {b.dtype}")
+    if b.shape != (k // 8, n):
+        raise ValueError(
+            f"b must be repack output (k/8, n) = {(k // 8, n)}, got {b.shape}")
+    if s.dtype != jnp.uint8:
+        raise ValueError(f"s must be uint8 processed scales, got {s.dtype}")
+    if s.shape != (k // group, n):
+        raise ValueError(
+            f"s must be processed scales (k/{group}, n) = "
+            f"{(k // group, n)}, got {s.shape}")
+    if k % 128 != 0:
+        raise ValueError(f"k = {k} must be a multiple of 128")
+    return a, b.view(jnp.uint32) if b.dtype == jnp.int32 else b, s
+
+
+def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+         element_b: ElementB, interpret: bool = False):
+    if size_m == 0 or size_n == 0 or size_k == 0:
+        return jnp.zeros((size_m, size_n), dtype=jnp.asarray(a).dtype)
+    group = 16 if element_b == ElementB.NVFP4 else 32
+    a, b, s = _validate_and_prepare(a, b, s, size_m, size_n, size_k, group)
+    in_dtype = a.dtype
+    mfma = MatmulType.FP16 if in_dtype == jnp.float16 else MatmulType.BF16
+    sid = resolve_solution(size_m, size_n, size_k, element_b, mfma,
+                           solution_id=solution_id)
+    # fp16 activations: TPU MXU is bf16/f32-native; compute in bf16 (or f32
+    # with a high-precision solution) and cast back. Documented deviation
+    # from the reference's true-fp16 MFMA path.
+    if sid.high_precision:
+        out = fused.fused_mul(a.astype(jnp.float32), b, s,
+                              jnp.asarray(global_scale, jnp.float32),
+                              sid=sid, out_dtype=jnp.float32,
+                              interpret=interpret)
+        return out.astype(in_dtype if in_dtype != jnp.float32 else jnp.float32)
+    out = fused.fused_mul(a.astype(jnp.bfloat16), b, s,
+                          jnp.asarray(global_scale, jnp.float32),
+                          sid=sid, out_dtype=jnp.bfloat16,
+                          interpret=interpret)
+    return out.astype(in_dtype) if in_dtype != jnp.bfloat16 else out
+
+
+def mul_nvfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
+                  solution_id: int = -1, *, interpret: bool = False):
+    """c = (a @ dequant_nvfp4(b, s).T_layout) * global_scale -> (m, n).
+
+    API parity with petit_kernel.mul_nvfp4_a16 (petit_kernel/__init__.py:
+    37-47); b/s are this framework's repack_nvfp4 / process_nvfp4_scales
+    outputs (opaque layout, as in the reference).
+    """
+    return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+                ElementB.NVFP4, interpret=interpret)
+
+
+def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
+                  solution_id: int = -1, *, interpret: bool = False):
+    """MXFP4 variant (reference: GemmMxFp4Fp16Grid overriding element_b,
+    gemm_fp4_fp16_grid.cc:79-95)."""
+    return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+                ElementB.MXFP4, interpret=interpret)
+
+
+def get_fp4_solutions(size_m: int, size_n: int, size_k: int,
+                      a_type=jnp.bfloat16, c_type=jnp.bfloat16,
+                      element_b: ElementB = ElementB.NVFP4) -> list[int]:
+    """Feasible solution reprs for a shape (reference GetNvFp4Solutions,
+    fp4.cc:262-283)."""
+    mfma = MatmulType.FP16 if a_type == jnp.float16 else MatmulType.BF16
+    sols = solution_mod.get_solutions(size_m, size_n, size_k, element_b, mfma)
+    sols += solution_mod.get_solutions(size_m, size_n, size_k, element_b,
+                                       mfma, high_precision=True)
+    return [s.repr() for s in sols]

@@ -1,0 +1,262 @@
+"""Fused FP4-dequant + GEMM Pallas TPU kernels.
+
+TPU-native re-design of the reference hot kernel
+(lib/gemm/rocm/quantization/fp4/gemm_fp4_fp16_grid.cuh:441-498 and
+warp_schedule_fp16.cuh:154-189): instead of MFMA warp tiles fed by shm
+bit-twiddles, a Pallas grid streams packed weight words HBM->VMEM (double
+buffered by the Pallas pipeline), a SWAR decode turns each u32 of 8 E2M1
+nibbles into bf16 pairs on the VPU, and 128x128 MXU dots consume the
+dequantized slabs with an f32 accumulator.
+
+Decode math (per 32-bit lane, two nibbles at bits [3:0] and [19:16]):
+    mag  = x & 0x00070007
+    nrm  = (mag << 6) + 0x3F003F00      # bf16 bits of 2^(e-1)*(1+m/2), e>=1
+    y    = bitcast<bf16>(nrm)           # y in {0.5, 0.75} U [1, 6]
+    t    = min(2y - 1, y)               # fixes the two e==0 codes: 0, 0.5
+    sf   = bitcast<bf16>(((x<<12) & 0x80008000) | 0x3F803F80)   # +-1.0
+    val  = t * sf
+This is the TPU equivalent of the reference's branch-free Fp4ToFp16 mask
+trick (quantization/dequant.cuh:113-125): all magnitudes decode with one
+shared arithmetic path, the e==0 subnormal codes are folded in by the
+min() identity (2y-1 < y iff y < 1), and products scale-x-value are exact
+in bf16 (4-bit x 2-bit significands).
+
+No "E5M3 x 2^7" scale re-bias is needed (dequant.cuh:20-22 works around GPU
+denormal flushing): scales decode to f32 exactly in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..solution import SolutionId, ElementB
+
+_PAIR_MASK = np.uint32(0x000F000F)
+_MAG_MASK = np.uint32(0x00070007)
+_SGN_MASK = np.uint32(0x80008000)
+_NRM_BIAS = np.uint32(0x3F003F00)   # (126 << 7) in both bf16 halves
+_ONE_BITS = np.uint32(0x3F803F80)   # +1.0 in both bf16 halves
+
+
+def decode_quarter(words: jax.Array, j: int) -> jax.Array:
+    """Decode quarter j of packed words (R, C) u32 -> (2R, C) bf16 values
+    (unscaled). Row 2r = slot j (low half), row 2r+1 = slot j+4 (high half),
+    i.e. consecutive k by the layout contract (ops/layout.py)."""
+    x = (words >> np.uint32(4 * j)) & _PAIR_MASK
+    mag = x & _MAG_MASK
+    nrm = (mag << np.uint32(6)) + _NRM_BIAS
+    y = pltpu.bitcast(nrm, jnp.bfloat16)                    # (2R, C), > 0
+    t = jnp.minimum(jnp.bfloat16(2) * y - jnp.bfloat16(1), y)
+    sf = pltpu.bitcast(((x << np.uint32(12)) & _SGN_MASK) | _ONE_BITS,
+                       jnp.bfloat16)
+    return t * sf
+
+
+def decode_scales_e4m3(s_u8: jax.Array) -> jax.Array:
+    """E4M3 bytes (G, C) -> f32 (exact). Positive-scale invariant is
+    validated at process_nvfp4_scales time, so the sign bit is ignored."""
+    s = s_u8.astype(jnp.int32)
+    man = s & 7
+    e = (s >> 3) & 0xF
+    norm = pltpu.bitcast(((e + 120) << 23) | (man << 20), jnp.float32)
+    sub = man.astype(jnp.float32) * np.float32(2.0 ** -9)
+    return jnp.where(e == 0, sub, norm)
+
+
+def decode_scales_e8m0(s_u8: jax.Array) -> jax.Array:
+    """E8M0 bytes (G, C) -> f32: 2^(u8-127). Byte 0 (2^-127) decodes to 0.0
+    (f32 subnormal, irrelevant after the bf16 product); 255 is rejected at
+    process time."""
+    return pltpu.bitcast(s_u8.astype(jnp.int32) << 23, jnp.float32)
+
+
+def _apply_scales(deq: jax.Array, sc_f32: jax.Array, rows_per_group: int,
+                  out_dtype=jnp.bfloat16) -> jax.Array:
+    """Multiply (G*rows_per_group, C) bf16 values by (G, C) scales."""
+    g, c = sc_f32.shape
+    d3 = deq.reshape(g, rows_per_group, c)
+    return (d3 * sc_f32.astype(out_dtype)[:, None, :]).reshape(
+        g * rows_per_group, c)
+
+
+def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
+                  out_ref, acc_ref, *, nk: int, group: int,
+                  element_b: ElementB, high_precision: bool):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    decode_scales = (decode_scales_e4m3 if element_b == ElementB.NVFP4
+                     else decode_scales_e8m0)
+    a_refs = (a0, a1, a2, a3)
+    s_refs = (s0, s1, s2, s3)
+    for j in range(4):
+        deq = decode_quarter(w_ref[:], j)
+        sc = decode_scales(s_refs[j][:])
+        if high_precision:
+            # True-f32 MXU path: without precision=HIGHEST, TPU matmuls
+            # (and the Pallas interpreter emulating them) round f32 inputs
+            # to bf16. This is the analog of the reference's high-precision
+            # mode (dequant.cuh:241-254), at the usual multi-pass cost.
+            b = _apply_scales(deq.astype(jnp.float32), sc, group,
+                              out_dtype=jnp.float32)
+            a = a_refs[j][:].astype(jnp.float32)
+            acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        else:
+            b = _apply_scales(deq, sc, group)
+            a = a_refs[j][:]
+            acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _epilogue():
+        out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sid", "interpret", "out_dtype"))
+def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
+              global_scale: jax.Array, *, sid: SolutionId,
+              out_dtype=jnp.bfloat16, interpret: bool = False) -> jax.Array:
+    """c[m, n] = (a[m, k] @ dequant(words, scales).[k, n]) * global_scale.
+
+    a        : (m, k) bf16 (f32 when sid.high_precision)
+    words    : (k/8, n) uint32 petit-tpu layout (ops/layout.py)
+    scales_t : (k/group, n) uint8 raw E4M3 / E8M0 bytes
+    global_scale : () or (1,) f32
+
+    m and n are padded to block multiples here (zero weight words decode to
+    0.0 so n-padding contributes nothing; padded m rows are sliced off);
+    k % sid.block_k == 0 is required and guaranteed by the feasibility
+    filter (solution.is_feasible).
+    """
+    # No Mosaic on CPU: fall back to the interpreter (the virtual-device
+    # test/dryrun environment; real runs are on TPU).
+    interpret = interpret or jax.default_backend() == "cpu"
+    m, k = a.shape
+    kw, n = words.shape
+    assert kw * 8 == k, (kw, k)
+    group = sid.group_size
+    assert scales_t.shape == (k // group, n)
+    bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
+    assert k % bk == 0, (k, bk)
+
+    m_pad = -(-m // bm) * bm
+    n_pad = -(-n // bn) * bn
+    if m_pad != m:
+        a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
+    if n_pad != n:
+        words = jnp.pad(words, ((0, 0), (0, n_pad - n)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, n_pad - n)))
+
+    nm, nn, nk = m_pad // bm, n_pad // bn, k // bk
+    kq = k // 4           # global k-quarter length
+    kb4 = bk // 4         # per-step rows per quarter
+    srows = kb4 // group  # scale rows per quarter per step
+
+    def a_map(j):
+        return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+
+    def s_map(j):
+        return lambda i, nn_, kk_, j=j: (j * nk + kk_, nn_)
+
+    a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
+               for j in range(4)]
+    w_spec = pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
+                          memory_space=pltpu.VMEM)
+    s_specs = [pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
+               for j in range(4)]
+    gs_spec = pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
+                           memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
+                            memory_space=pltpu.VMEM)
+
+    gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    if sid.high_precision:
+        a = a.astype(jnp.float32)
+    elif a.dtype != jnp.bfloat16:
+        a = a.astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _fused_kernel, nk=nk, group=group, element_b=sid.element_b,
+        high_precision=sid.high_precision)
+
+    flops = 2 * m_pad * n_pad * k
+    bytes_accessed = (words.size * 4 + scales_t.size + a.size * a.dtype.itemsize
+                      + m_pad * n_pad * 2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nm, nn, nk),
+        in_specs=[*a_specs, w_spec, *s_specs, gs_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(a, a, a, a, words, scales_t, scales_t, scales_t, scales_t, gs)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Standalone dequant kernel: full-matrix B -> bf16 (k, n) from the TPU
+# layout. Test/reference path, analog of DequantPetitFp4 / DequantPetitMxFp4
+# (quantization_utils.cu:306-727).
+# ---------------------------------------------------------------------------
+
+def _dequant_kernel(w_ref, s0, s1, s2, s3, out_ref, *, group: int,
+                    element_b: ElementB):
+    decode_scales = (decode_scales_e4m3 if element_b == ElementB.NVFP4
+                     else decode_scales_e8m0)
+    s_refs = (s0, s1, s2, s3)
+    for j in range(4):
+        deq = decode_quarter(w_ref[:], j)
+        out_ref[j] = _apply_scales(deq, decode_scales(s_refs[j][:]), group)
+
+
+@functools.partial(jax.jit, static_argnames=("element_b", "block_k",
+                                             "block_n", "interpret"))
+def dequant_tpu_layout(words: jax.Array, scales_t: jax.Array, *,
+                       element_b: ElementB = ElementB.NVFP4,
+                       block_k: int = 512, block_n: int = 256,
+                       interpret: bool = False) -> jax.Array:
+    """Dequantize petit-tpu packed weights -> bf16 (k, n)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    kw, n = words.shape
+    k = kw * 8
+    group = 16 if element_b == ElementB.NVFP4 else 32
+    bk = min(block_k, k)
+    bn = min(block_n, n)
+    assert k % bk == 0 and n % bn == 0
+    nk, nn = k // bk, n // bn
+    kb4, srows = bk // 4, bk // 4 // group
+
+    def s_map(j):
+        return lambda kk_, nn_, j=j: (j * nk + kk_, nn_)
+
+    out = pl.pallas_call(
+        functools.partial(_dequant_kernel, group=group, element_b=element_b),
+        grid=(nk, nn),
+        in_specs=[
+            pl.BlockSpec((bk // 8, bn), lambda kk_, nn_: (kk_, nn_),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
+              for j in range(4)],
+        ],
+        out_specs=pl.BlockSpec((4, kb4, bn), lambda kk_, nn_: (0, kk_, nn_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, k // 4, n), jnp.bfloat16),
+        interpret=interpret,
+    )(words, scales_t, scales_t, scales_t, scales_t)
+    # (4, k/4, n): quarter j holds k-range [j*k/4, (j+1)*k/4) -> natural k.
+    return out.reshape(k, n)

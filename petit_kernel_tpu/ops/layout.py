@@ -1,0 +1,152 @@
+"""Offline weight/scale repack into the TPU tile layout ("petit-tpu layout").
+
+TPU analog of the reference's Marlin-style offline shuffle
+(lib/gemm/rocm/quantization/quantization_utils.cu:183-304: PetitFormat nibble
+permutation + RepackQWeightLayout64x32 tiling).  The reference pre-positions
+nibble bits for branch-free MFMA-side dequant; here the layout is co-designed
+with the Pallas kernel's SWAR decode and the MXU instead:
+
+  Packed weights W: uint32, shape (K/8, N).
+    Word W[r, c] holds 8 E2M1 nibbles of column n=c.  Slot s (bits 4s..4s+3),
+    with j = s & 3 and h = s >> 2, holds the nibble for
+
+        k = j*(K/4) + 2*r + h.
+
+    Why: the kernel extracts pair j via  x = (W >> 4j) & 0x000F000F  which
+    leaves slot j in bits[3:0] (-> low bf16 half) and slot j+4 in bits[19:16]
+    (-> high bf16 half).  After the SWAR fp4->bf16 decode,
+    pltpu.bitcast(x, bfloat16) turns (R, C) u32 into (2R, C) bf16 with row
+    2r = low half, row 2r+1 = high half.  With the slot map above, extract j
+    of word rows [r0, r0+R) therefore decodes to the *contiguous* k-slab
+    [j*K/4 + 2*r0, j*K/4 + 2*r0 + 2*R) in natural k order — no in-kernel
+    shuffles, no A/C permutations; the kernel just reads four contiguous A
+    k-slices (one per quarter) and issues four MXU dots.
+
+  Scales S: uint8, shape (K/group, N) — the checkpoint scales transposed to
+    k-major (group=16 E4M3 bytes for NVFP4, group=32 E8M0 bytes for MXFP4).
+    No value transform is applied: the reference's E4M3->"E5M3" x2^7 re-bias
+    (quantization_utils.cu:143-163) exists only to dodge GPU denormal
+    flushing; the TPU kernel decodes E4M3 to bf16/f32 exactly, so raw bytes
+    are kept and HBM scale traffic stays at 1 byte/group.
+
+Negative-zero FP4 codes (0x8) are masked to +0 at repack, matching
+MaskNegativeZeroOnPetitFp4Format (quantization_utils.cu:196-199).
+
+Sharding note: the k-quarter interleave is *global* in K, so for tensor
+parallelism shard the checkpoint along N or K **first**, then repack each
+shard (parallel/sharding.py does this).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..numerics import formats
+
+# K must cover 4 quarters x 2 (nibble pair) x 8 sublanes minimum; we also
+# keep the reference's contract of K % 128 == 0 (pybind/fp4.cc:44-46).
+K_ALIGN = 128
+N_ALIGN = 16
+
+
+def _to_numpy_u8_qweights(qweights, size_n: int, size_k: int) -> np.ndarray:
+    """Normalize qweights to uint8 (n, k/2). Accepts uint8 (n, k/2) or an
+    int32/uint32 (n, k/8) little-endian view (the reference's input dtype,
+    pybind/fp4.cc:52-55)."""
+    q = np.asarray(qweights)
+    if q.dtype in (np.int32, np.uint32):
+        q = q.view(np.uint8).reshape(q.shape[0], -1)
+    if q.dtype != np.uint8:
+        raise TypeError(f"qweights must be uint8 or int32, got {q.dtype}")
+    if q.shape != (size_n, size_k // 2):
+        raise ValueError(
+            f"qweights shape {q.shape} != (n, k/2) = {(size_n, size_k // 2)}")
+    return q
+
+
+def _validate_nk(size_n: int, size_k: int) -> None:
+    if size_k % K_ALIGN != 0:
+        raise ValueError(f"k = {size_k} must be a multiple of {K_ALIGN}")
+    if size_n % N_ALIGN != 0:
+        raise ValueError(f"n = {size_n} must be a multiple of {N_ALIGN}")
+
+
+def repack_fp4_weights(qweights, size_n: int, size_k: int) -> np.ndarray:
+    """Reference-layout qweights -> petit-tpu packed words, uint32 (k/8, n).
+
+    Weight repack is identical for NVFP4 and MXFP4 (only scales differ), as
+    in the reference where repack_mxfp4 aliases repack_nvfp4
+    (petit_kernel/__init__.py:27-28).
+    """
+    _validate_nk(size_n, size_k)
+    q = _to_numpy_u8_qweights(qweights, size_n, size_k)
+    nib = formats.unpack_fp4_pairs(q)            # (n, k) codes
+    nib = np.where(nib == 8, np.uint8(0), nib)   # mask negative zero
+    nib_t = nib.T.astype(np.uint32)              # (k, n)
+    k, n = size_k, size_n
+    words = np.zeros((k // 8, n), dtype=np.uint32)
+    for s in range(8):
+        j, h = s & 3, s >> 2
+        # slot s of word row r holds k = j*k/4 + 2r + h, r in [0, k/8)
+        rows = nib_t[j * (k // 4) + h: j * (k // 4) + h + k // 4: 2]
+        words |= rows << (4 * s)
+    return words
+
+
+def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarray:
+    """Inverse of repack_fp4_weights -> nibble codes (n, k). Test/debug path,
+    analog of DequantPetitFp4's layout walk (quantization_utils.cu:306-727)."""
+    k, n = size_k, size_n
+    assert words.shape == (k // 8, n)
+    nib_t = np.zeros((k, n), dtype=np.uint8)
+    for s in range(8):
+        j, h = s & 3, s >> 2
+        rows = ((words >> (4 * s)) & 0xF).astype(np.uint8)
+        nib_t[j * (k // 4) + h: j * (k // 4) + h + k // 4: 2] = rows
+    return nib_t.T
+
+
+def process_fp4_scales(scales, size_n: int, size_k: int, *,
+                       group_size: int) -> np.ndarray:
+    """Checkpoint scales (n, k/group) -> k-major uint8 (k/group, n).
+
+    Validates the positive-scale invariant the kernels rely on (ModelOpt/
+    Quark checkpoints guarantee it; reference README.md:31).
+    """
+    _validate_nk(size_n, size_k)
+    s = np.asarray(scales)
+    if s.dtype != np.uint8:
+        # accept ml_dtypes fp8 views
+        s = s.view(np.uint8)
+    if s.shape != (size_n, size_k // group_size):
+        raise ValueError(
+            f"scales shape {s.shape} != (n, k/{group_size}) = "
+            f"{(size_n, size_k // group_size)}")
+    if group_size == formats.NVFP4_GROUP_SIZE:
+        if np.any(s & 0x80):
+            raise ValueError("NVFP4 E4M3 scales must be positive")
+        if np.any((s & 0x7F) == 0x7F):
+            raise ValueError("NVFP4 E4M3 scales must not be NaN")
+    else:
+        if np.any(s == 0xFF):
+            raise ValueError("MXFP4 E8M0 scales must not be NaN (0xFF)")
+    return np.ascontiguousarray(s.T)
+
+
+def dequant_from_tpu_layout(words: np.ndarray, scales_t: np.ndarray,
+                            size_n: int, size_k: int, *,
+                            group_size: int) -> np.ndarray:
+    """Reference dequant straight from the TPU layout -> f32 (k, n).
+
+    Host-side oracle used by round-trip tests (repack -> dequant-from-tiled
+    must equal dequant-from-native), mirroring NvFp4ToPetitFp4Test::
+    TestConvert (quantization_utils_fp4_test.cc:103-133).
+    """
+    nib = unpack_fp4_weights(words, size_n, size_k)      # (n, k)
+    vals = formats.fp4_decode(nib)                       # (n, k) f32
+    if group_size == formats.NVFP4_GROUP_SIZE:
+        sc = formats.e4m3_decode(scales_t.T)             # (n, k/16)
+    else:
+        sc = formats.e8m0_decode(scales_t.T)
+    deq = (vals.reshape(size_n, -1, group_size) * sc[:, :, None])
+    return deq.reshape(size_n, size_k).T                 # (k, n)

@@ -1,0 +1,188 @@
+"""Kernel solution space: config encoding, registry, feasibility, heuristic.
+
+TPU analog of the reference's SolutionId 64-bit bitfield + dispatcher +
+heuristic chooser (lib/gemm/rocm/quantization/gemm.h:33-105,
+fp4/gemm_fp4_fp16_grid.cc:11-34, fp4/algo_chooser.cc:14-132).  Where the
+reference enumerates 234 precompiled HIP kernels, here a SolutionId maps to a
+parameterization of one Pallas kernel factory; "compilation" happens lazily
+per (solution, shape) via jit and is cached by XLA.
+
+The integer `repr` round-trips (SolutionId.from_repr(sid.repr()) == sid) and
+is the persisted autotune-table key, like the reference's
+SolutionId::Repr()/FromRepr bijection (gemm.h:94-104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Iterable
+
+
+class ElementB(enum.IntEnum):
+    """Quantized weight format (reference MatmulElementB, gemm.h:56-61)."""
+    INT4 = 0       # reserved, not implemented (parity with reference enum)
+    NVFP4 = 1
+    MXFP4 = 2
+
+
+class MatmulType(enum.IntEnum):
+    """Activation/output dtype class (reference MatmulMfmaType, gemm.h:63-67)."""
+    FP16 = 0
+    BF16 = 1
+
+
+# Block-size quanta. block_m in sublane multiples of 16 (bf16 tile),
+# block_n in lane multiples of 128, block_k in multiples of 64 so each
+# k-quarter slab (block_k/4) stays 16-row aligned for NVFP4 scale groups.
+BLOCK_M_UNIT = 16
+BLOCK_N_UNIT = 128
+BLOCK_K_UNIT = 64
+
+
+@dataclasses.dataclass(frozen=True, order=True)
+class SolutionId:
+    block_m: int
+    block_n: int
+    block_k: int
+    element_b: ElementB = ElementB.NVFP4
+    mfma_type: MatmulType = MatmulType.BF16
+    high_precision: bool = False
+
+    def __post_init__(self):
+        assert self.block_m % BLOCK_M_UNIT == 0 and self.block_m > 0
+        assert self.block_n % BLOCK_N_UNIT == 0 and self.block_n > 0
+        assert self.block_k % BLOCK_K_UNIT == 0 and self.block_k > 0
+
+    # 64-bit layout: [m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
+    def repr(self) -> int:
+        return ((self.block_m // BLOCK_M_UNIT) << 26 |
+                (self.block_n // BLOCK_N_UNIT) << 16 |
+                (self.block_k // BLOCK_K_UNIT) << 6 |
+                int(self.element_b) << 3 |
+                int(self.mfma_type) << 1 |
+                int(self.high_precision))
+
+    @classmethod
+    def from_repr(cls, r: int) -> "SolutionId":
+        return cls(
+            block_m=((r >> 26) & 0xFF) * BLOCK_M_UNIT,
+            block_n=((r >> 16) & 0x3FF) * BLOCK_N_UNIT,
+            block_k=((r >> 6) & 0x3FF) * BLOCK_K_UNIT,
+            element_b=ElementB((r >> 3) & 0x7),
+            mfma_type=MatmulType((r >> 1) & 0x3),
+            high_precision=bool(r & 1),
+        )
+
+    @property
+    def group_size(self) -> int:
+        return 16 if self.element_b == ElementB.NVFP4 else 32
+
+
+@dataclasses.dataclass(frozen=True)
+class SolutionHints:
+    """Soft preferences, analog of PetitSolutionHints (gemm.h:110-117)."""
+    a_type: MatmulType = MatmulType.BF16
+    b_type: ElementB = ElementB.NVFP4
+    c_type: MatmulType = MatmulType.BF16
+    require_high_precision: bool = False
+
+
+# The enumerated solution space (analog of gen_solution_list.cc:34-53's 39
+# tile combos; ours is the Pallas block-shape family).
+_BLOCK_MS = (16, 32, 64, 128, 256, 512)
+_BLOCK_NS = (128, 256, 512, 1024, 2048)
+_BLOCK_KS = (128, 256, 512, 1024, 2048)
+
+# Per-step VMEM budget (bytes) used by the feasibility filter. Conservative
+# default for ~16 MiB/core VMEM with double buffering headroom.
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def vmem_estimate(sid: SolutionId) -> int:
+    """Rough per-grid-step VMEM bytes incl. Pallas double buffering."""
+    bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
+    a = bm * (bk // 4) * 2 * 4        # four A k-slices, bf16
+    w = (bk // 8) * bn * 4            # packed words, u32
+    s = (bk // sid.group_size) * bn   # scale bytes
+    acc = bm * bn * 4                 # f32 accumulator scratch
+    out = bm * bn * 2
+    deq = 2 * (bk // 4) * bn * 4      # decode temporaries (f32-ish)
+    return 2 * (a + w + s) + acc + out + deq
+
+
+def is_feasible(sid: SolutionId, m: int, n: int, k: int) -> bool:
+    """Feasibility filter, analog of algo_chooser.cc:68-84 (divisibility and
+    dtype checks). M and N are padded by the host wrapper, so only K
+    divisibility is hard; block_n/block_m are soft-capped to avoid absurd
+    padding."""
+    if k % sid.block_k != 0:
+        return False
+    if sid.block_k < 2 * sid.group_size * 4:  # each quarter >= one group
+        return False
+    if sid.block_m > 2 * max(m, BLOCK_M_UNIT):
+        return False
+    if sid.block_n > 2 * max(n, BLOCK_N_UNIT):
+        return False
+    if vmem_estimate(sid) > VMEM_BUDGET:
+        return False
+    return True
+
+
+def get_solutions(m: int, n: int, k: int,
+                  element_b: ElementB = ElementB.NVFP4,
+                  mfma_type: MatmulType = MatmulType.BF16,
+                  high_precision: bool = False) -> list[SolutionId]:
+    """Enumerate feasible solutions for a problem shape (analog of
+    GemmGetSolutions, algo_chooser.cc:14-62)."""
+    out = []
+    for bm in _BLOCK_MS:
+        for bn in _BLOCK_NS:
+            for bk in _BLOCK_KS:
+                sid = SolutionId(bm, bn, bk, element_b, mfma_type,
+                                 high_precision)
+                if is_feasible(sid, m, n, k):
+                    out.append(sid)
+    return out
+
+
+def choose_default_solution(m: int, n: int, k: int,
+                            element_b: ElementB = ElementB.NVFP4,
+                            mfma_type: MatmulType = MatmulType.BF16,
+                            high_precision: bool = False) -> SolutionId:
+    """Heuristic default chooser (analog of ChooseDefaultFp4Fp16Solution,
+    algo_chooser.cc:64-132): small m -> snug block_m + deep k to stream
+    weights; large m -> fat MXU tiles.
+
+    Checked against the autotuner on the Llama shape suite; the autotuned
+    table overrides this when present.
+    """
+    def best_bk(target: int) -> int:
+        for bk in sorted(_BLOCK_KS, reverse=True):
+            if bk <= target and k % bk == 0 and bk >= 8 * (
+                    16 if element_b == ElementB.NVFP4 else 32):
+                return bk
+        for bk in sorted(_BLOCK_KS):
+            if k % bk == 0:
+                return bk
+        raise ValueError(f"no feasible block_k for k={k}")
+
+    if m <= 32:
+        # Decode regime: HBM-bound on the weight stream. Snug m, wide n
+        # blocks for long contiguous DMA, deep k.
+        bm = 16 if m <= 16 else 32
+        bn, bk = 512, best_bk(1024)
+    elif m <= 128:
+        bm = 64 if m <= 64 else 128
+        bn, bk = 512, best_bk(512)
+    else:
+        # Prefill/compute-bound: big MXU tiles.
+        bm = 256
+        bn, bk = 512, best_bk(512)
+    sid = SolutionId(bm, bn, bk, element_b, mfma_type, high_precision)
+    if not is_feasible(sid, m, n, k):
+        sols = get_solutions(m, n, k, element_b, mfma_type, high_precision)
+        if not sols:
+            raise ValueError(f"no feasible solution for m={m} n={n} k={k}")
+        sid = sols[0]
+    return sid

@@ -1,0 +1,91 @@
+"""Fused dequant+GEMM Pallas kernel vs host oracle (interpret mode, CPU).
+
+TPU analog of the reference GEMM-vs-hipBLASLt integration tests
+(fp4/gemm_fp4_fp16_rocm_test.cc:192-289): the oracle dequantizes B with the
+host reference and runs a dense f32 matmul; tolerance |d| < max(1e-2, 1%).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from petit_kernel_tpu.numerics import formats, reference
+from petit_kernel_tpu.ops import layout
+from petit_kernel_tpu.ops.kernels import fused
+from petit_kernel_tpu.ops.solution import SolutionId, ElementB, MatmulType
+
+
+def make_case(m, n, k, fmt, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
+    nib[nib == 8] = 0
+    qw = formats.pack_fp4_pairs(nib)
+    group = 16 if fmt == "nvfp4" else 32
+    if fmt == "nvfp4":
+        # positive E4M3 around 1.0 (exponents 4..10 => 2^-3..2^3)
+        scales = (rng.integers(4, 11, size=(n, k // group), dtype=np.uint8) << 3
+                  | rng.integers(0, 8, size=(n, k // group), dtype=np.uint8))
+    else:
+        scales = rng.integers(120, 135, size=(n, k // group), dtype=np.uint8)
+    gs = np.float32(rng.uniform(0.5, 2.0))
+    words = layout.repack_fp4_weights(qw, n, k)
+    st = layout.process_fp4_scales(scales, n, k, group_size=group)
+    return a, qw, scales, gs, words, st
+
+
+def check(c, a, qw, scales, gs, fmt, rtol=0.01, atol=0.01):
+    a_bf = a.astype(jnp.bfloat16).astype(np.float32)
+    ref = reference.gemm_reference(a_bf, qw, scales, gs, fmt=fmt)
+    c = np.asarray(c, dtype=np.float32)
+    np.testing.assert_allclose(c, ref, rtol=rtol, atol=atol)
+
+
+def test_standalone_dequant_kernel_bit_exact():
+    for fmt, eb in [("nvfp4", ElementB.NVFP4), ("mxfp4", ElementB.MXFP4)]:
+        _, qw, scales, _, words, st = make_case(1, 32, 512, fmt, seed=5)
+        group = 16 if fmt == "nvfp4" else 32
+        out = fused.dequant_tpu_layout(
+            jnp.asarray(words), jnp.asarray(st), element_b=eb,
+            block_k=256, block_n=128, interpret=True)
+        expect = layout.dequant_from_tpu_layout(words, st, 32, 512,
+                                                group_size=group)
+        # bf16 cast of exact products is still exact (<= 6 significand bits)
+        assert np.array_equal(np.asarray(out, np.float32), expect), fmt
+
+
+CASES = [
+    # m, n, k, sid blocks (bm, bn, bk)
+    (16, 128, 512, (16, 128, 128)),
+    (1, 128, 512, (16, 128, 128)),     # m padding
+    (16, 192, 512, (16, 128, 256)),    # n padding (192 -> 256)
+    (33, 128, 1024, (16, 128, 512)),   # m padding multi-block
+    (64, 256, 512, (32, 256, 128)),    # multi n-block
+]
+
+
+@pytest.mark.parametrize(("m", "n", "k", "blocks"), CASES)
+@pytest.mark.parametrize("fmt", ["nvfp4", "mxfp4"])
+def test_fused_gemm_vs_oracle(m, n, k, blocks, fmt):
+    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
+    sid = SolutionId(*blocks, element_b=eb)
+    if sid.block_k < 8 * sid.group_size:
+        pytest.skip("block_k below quarter-group minimum")
+    a, qw, scales, gs, words, st = make_case(m, n, k, fmt, seed=m * k + n)
+    c = fused.fused_mul(
+        jnp.asarray(a, jnp.bfloat16), jnp.asarray(words), jnp.asarray(st),
+        jnp.float32(gs), sid=sid, interpret=True)
+    assert c.shape == (m, n) and c.dtype == jnp.bfloat16
+    check(c, a, qw, scales, gs, fmt)
+
+
+def test_fused_gemm_high_precision():
+    sid = SolutionId(16, 128, 128, element_b=ElementB.NVFP4,
+                     high_precision=True)
+    a, qw, scales, gs, words, st = make_case(16, 128, 512, "nvfp4", seed=9)
+    c = fused.fused_mul(
+        jnp.asarray(a, jnp.float32), jnp.asarray(words), jnp.asarray(st),
+        jnp.float32(gs), sid=sid, out_dtype=jnp.float32, interpret=True)
+    # f32 path: compare against f32 oracle (no bf16 rounding of A)
+    ref = reference.gemm_reference(a, qw, scales, gs, fmt="nvfp4")
+    np.testing.assert_allclose(np.asarray(c), ref, rtol=5e-3, atol=5e-3)

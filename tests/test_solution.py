@@ -1,0 +1,85 @@
+"""SolutionId encoding, feasibility, heuristic chooser, dispatch semantics.
+Analog of the reference's solution-space machinery tests (SolutionId
+Repr/FromRepr bijection gemm.h:94-104, chooser algo_chooser.cc:64-132)."""
+
+import pytest
+
+from petit_kernel_tpu.ops import solution as S
+from petit_kernel_tpu.ops import gemm as G
+from petit_kernel_tpu.ops.solution import SolutionId, ElementB, MatmulType
+
+
+def test_repr_roundtrip():
+    for bm in (16, 64, 512):
+        for bn in (128, 1024):
+            for bk in (128, 2048):
+                for eb in (ElementB.NVFP4, ElementB.MXFP4):
+                    for mt in (MatmulType.BF16, MatmulType.FP16):
+                        for hp in (False, True):
+                            sid = SolutionId(bm, bn, bk, eb, mt, hp)
+                            assert SolutionId.from_repr(sid.repr()) == sid
+
+
+def test_repr_distinct():
+    reprs = {s.repr() for s in S.get_solutions(16, 8192, 8192)}
+    assert len(reprs) == len(S.get_solutions(16, 8192, 8192))
+
+
+def test_feasibility_k_divisibility():
+    assert not S.is_feasible(SolutionId(16, 128, 512), 16, 128, 640)
+    assert S.is_feasible(SolutionId(16, 128, 128), 16, 128, 640)
+
+
+def test_feasibility_group_minimum():
+    # MXFP4 quarter must cover >= one 32-group: block_k >= 256
+    sid = SolutionId(16, 128, 128, ElementB.MXFP4)
+    assert not S.is_feasible(sid, 16, 128, 1024)
+    assert S.is_feasible(SolutionId(16, 128, 256, ElementB.MXFP4), 16, 128, 1024)
+
+
+def test_get_solutions_nonempty_llama_shapes():
+    # the reference's active bench suite shapes (tools/benchmarks/matmul.py:92-117)
+    for (n, k) in [(10240, 8192), (8192, 8192), (57344, 8192), (8192, 28672),
+                   (1024, 8192), (8192, 1024), (28672, 8192), (6144, 4096)]:
+        for m in (16, 256, 512):
+            sols = S.get_solutions(m, n, k)
+            assert sols, (m, n, k)
+            sid = S.choose_default_solution(m, n, k)
+            assert S.is_feasible(sid, m, n, k)
+
+
+def test_default_chooser_small_m_prefers_snug_block_m():
+    sid = S.choose_default_solution(16, 8192, 8192)
+    assert sid.block_m == 16
+    sid = S.choose_default_solution(1, 8192, 8192)
+    assert sid.block_m == 16
+    sid = S.choose_default_solution(512, 8192, 8192)
+    assert sid.block_m >= 128
+
+
+def test_resolve_solution_explicit_id():
+    sid = SolutionId(16, 128, 128)
+    got = G.resolve_solution(16, 128, 512, ElementB.NVFP4,
+                             solution_id=sid.repr())
+    assert got == sid
+    with pytest.raises(ValueError):  # infeasible explicit id
+        G.resolve_solution(16, 128, 640, ElementB.NVFP4,
+                           solution_id=SolutionId(16, 128, 512).repr())
+    with pytest.raises(ValueError):  # element_b mismatch
+        G.resolve_solution(16, 128, 512, ElementB.MXFP4,
+                           solution_id=sid.repr())
+
+
+def test_tuned_table_overrides_heuristic():
+    sid = SolutionId(32, 256, 256)
+    key = (16, 1024, 512, int(ElementB.NVFP4), int(MatmulType.BF16), False)
+    G.set_tuned_table({key: sid.repr()})
+    try:
+        assert G.resolve_solution(16, 1024, 512, ElementB.NVFP4) == sid
+    finally:
+        G.set_tuned_table({})
+
+
+def test_mbucket():
+    assert G._m_bucket(1) == 1 and G._m_bucket(32) == 32
+    assert G._m_bucket(33) == 64 and G._m_bucket(300) == 512
