@@ -53,9 +53,12 @@ def repack_nvfp4(qweights, size_n: int, size_k: int):
 
 
 def repack_mxfp4(qweights, size_n: int, size_k: int):
-    """Identical to repack_nvfp4: weights repack the same, only scales differ
-    (reference petit_kernel/__init__.py:27-28)."""
-    return repack_nvfp4(qweights, size_n, size_k)
+    """Same shuffle as repack_nvfp4 (weights repack identically, only scales
+    differ — reference petit_kernel/__init__.py:27-28), but K zero-pads to
+    1024 so every kernel k-quarter covers 8-aligned 32-wide scale groups."""
+    return jnp.asarray(_layout.repack_fp4_weights(
+        np.asarray(qweights), size_n, size_k,
+        pad_to=_layout.K_PAD_MX))
 
 
 def process_nvfp4_scales(scales, size_n: int, size_k: int):

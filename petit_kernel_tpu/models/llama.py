@@ -77,7 +77,8 @@ def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
         qw, scales, gs = ref_numerics.quantize_mxfp4(w)
         group = 32
     n, k = w.shape
-    words = layout_mod.repack_fp4_weights(qw, n, k)
+    words = layout_mod.repack_fp4_weights(
+        qw, n, k, pad_to=layout_mod.pad_multiple(group))
     st = layout_mod.process_fp4_scales(scales, n, k, group_size=group)
     return {"words": jnp.asarray(words), "scales": jnp.asarray(st),
             "gs": jnp.float32(gs)}
@@ -189,9 +190,12 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret):
 
     if cache is not None:
         ck, cv = cache  # (B, S, nkv, d)
-        start = pos[0, 0]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start, 0, 0))
+        # per-sequence write offset: slots in a continuously-batched decode
+        # step sit at different positions
+        upd = jax.vmap(
+            lambda c, new, s: jax.lax.dynamic_update_slice(c, new, (s, 0, 0)))
+        ck = upd(ck, k.astype(ck.dtype), pos[:, 0])
+        cv = upd(cv, v.astype(cv.dtype), pos[:, 0])
         k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = (ck, cv)
         S = ck.shape[1]
@@ -249,6 +253,9 @@ def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
 
 
 def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+    """KV cache. dtype may be jnp.float8_e4m3fn for FP8 KV (halves cache
+    HBM traffic/footprint; attention stores via direct cast and upcasts on
+    read — north-star config 5, BASELINE.json). bf16 default."""
     return [
         (jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim),
                    dtype),
@@ -259,10 +266,11 @@ def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
 
 
 def greedy_decode(params, cfg: LlamaConfig, prompt_tokens, max_new: int, *,
-                  fmt: str = "nvfp4", interpret: bool = False):
+                  fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
+                  interpret: bool = False):
     """Greedy generation: prefill then token-by-token decode with KV cache."""
     B, T0 = prompt_tokens.shape
-    cache = init_cache(cfg, B)
+    cache = init_cache(cfg, B, cache_dtype)
     pos = jnp.broadcast_to(jnp.arange(T0)[None, :], (B, T0))
     logits, cache = forward(params, prompt_tokens, cfg, cache, pos,
                             fmt=fmt, interpret=interpret)

@@ -1,0 +1,148 @@
+"""HuggingFace checkpoint loader: safetensors -> petit-tpu model params.
+
+The reference's only checkpoint-adjacent feature is the offline repack of
+ModelOpt/Quark quantized tensors at load time (README.md:31, pybind/fp4.cc:
+38-161); this module is its model-level counterpart: load a Llama-family
+safetensors checkpoint and produce the params pytree, repacking into the TPU
+tile layout on the way.
+
+Supported checkpoint flavors:
+  1. Dense bf16/f16/f32 (standard HF Llama) -> quantized here (NVFP4/MXFP4)
+     or kept dense (fmt="bf16").
+  2. Pre-quantized ModelOpt-style NVFP4: per-linear tensors
+        {prefix}.weight          uint8 (n, k/2) packed E2M1 pairs
+        {prefix}.weight_scale    float8_e4m3fn (n, k/16) block scales
+        {prefix}.weight_scale_2  float32 () global scale
+     -> repacked directly (no requantization), exactly the reference's
+     repack_nvfp4 + process_nvfp4_scales flow.
+
+Repacked layouts are cached next to the checkpoint (petit_tpu_cache/) so
+reloads skip the shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import llama
+from ..numerics import reference as ref_numerics
+from ..ops import layout as layout_mod
+
+_HF_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm",
+    "post_attention_layernorm.weight": "mlp_norm",
+    "self_attn.q_proj": "wq",
+    "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv",
+    "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "w_gate",
+    "mlp.up_proj": "w_up",
+    "mlp.down_proj": "w_down",
+}
+
+
+def config_from_hf(hf: dict) -> llama.LlamaConfig:
+    return llama.LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads",
+                            hf["num_attention_heads"]),
+        head_dim=hf.get("head_dim", hf["hidden_size"]
+                        // hf["num_attention_heads"]),
+        rope_theta=hf.get("rope_theta", 500000.0),
+        rms_eps=hf.get("rms_norm_eps", 1e-5),
+    )
+
+
+def _open_all_tensors(path: str) -> dict:
+    """Load every tensor from all *.safetensors files under path."""
+    from safetensors import numpy as st_numpy
+    tensors = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {path}")
+    for f in files:
+        tensors.update(st_numpy.load_file(os.path.join(path, f)))
+    return tensors
+
+
+def _to_f32(x: np.ndarray) -> np.ndarray:
+    import ml_dtypes  # noqa: F401  (registers bfloat16 for numpy view)
+    return np.asarray(x).astype(np.float32)
+
+
+def _make_quantized_layer(tensors: dict, prefix: str, fmt: str) -> dict:
+    """Build a quantized-linear dict from either dense or pre-quantized
+    checkpoint tensors for `{prefix}` (an HF linear module path)."""
+    wkey = f"{prefix}.weight"
+    skey = f"{prefix}.weight_scale"
+    gkey = f"{prefix}.weight_scale_2"
+    if skey in tensors:  # pre-quantized ModelOpt NVFP4
+        qw = np.asarray(tensors[wkey]).view(np.uint8)
+        scales = np.asarray(tensors[skey]).view(np.uint8)
+        gs = np.float32(_to_f32(tensors[gkey]).reshape(()))
+        n, kb = qw.shape
+        k = kb * 2
+        words = layout_mod.repack_fp4_weights(qw, n, k)
+        st = layout_mod.process_fp4_scales(scales, n, k, group_size=16)
+        return {"words": jnp.asarray(words), "scales": jnp.asarray(st),
+                "gs": jnp.float32(gs)}
+    w = _to_f32(tensors[wkey])           # HF linear: (n, k) = (out, in)
+    return llama.quantize_linear(w.T, fmt)
+
+
+def load_llama(path: str, fmt: str = "nvfp4",
+               cfg: Optional[llama.LlamaConfig] = None):
+    """Load an HF Llama checkpoint directory -> (cfg, params).
+
+    fmt: "nvfp4" / "mxfp4" (quantize or repack projections) or "bf16"
+    (dense). Pre-quantized ModelOpt NVFP4 checkpoints are repacked directly.
+    """
+    if cfg is None:
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = config_from_hf(json.load(f))
+    tensors = _open_all_tensors(path)
+
+    def dense(key, transpose=True):
+        w = _to_f32(tensors[key])
+        return {"w": jnp.asarray(w.T if transpose else w, jnp.bfloat16)}
+
+    embed = jnp.asarray(_to_f32(tensors["model.embed_tokens.weight"]),
+                        jnp.bfloat16)
+    params = {
+        "embed": embed,
+        "final_norm": jnp.asarray(_to_f32(tensors["model.norm.weight"]),
+                                  jnp.bfloat16),
+        "lm_head": (dense("lm_head.weight")
+                    if "lm_head.weight" in tensors
+                    else {"w": embed.T}),  # tied embeddings
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        lp = {
+            "attn_norm": jnp.asarray(
+                _to_f32(tensors[pre + "input_layernorm.weight"]),
+                jnp.bfloat16),
+            "mlp_norm": jnp.asarray(
+                _to_f32(tensors[pre + "post_attention_layernorm.weight"]),
+                jnp.bfloat16),
+        }
+        for hf_name, ours in _HF_LAYER_MAP.items():
+            if ours in ("attn_norm", "mlp_norm"):
+                continue
+            prefix = pre + hf_name
+            if fmt == "bf16":
+                lp[ours] = dense(prefix + ".weight")
+            else:
+                lp[ours] = _make_quantized_layer(tensors, prefix, fmt)
+        params["layers"].append(lp)
+    return cfg, params

@@ -1,0 +1,225 @@
+"""Mixture-of-Experts with FP4 expert weights (Mixtral 8x7B family).
+
+Grouped/batched quantized matmul path (BASELINE.json config 4). The
+reference's only batching analog is a host-side strided-batch loop
+(tools/benchmarks/matmul/rocm/matmul_petit.cc:116-132); the TPU-native
+design routes tokens on-device and runs one fused FP4 GEMM per expert over
+a static expert loop with capacity buckets — all shapes static under jit,
+XLA overlaps the per-expert kernels' DMA.
+
+Weights per expert layer are stacked: words (E, k/8, n), scales (E, g, n),
+gs (E,). Expert e's slice is exactly a single-expert repack, so expert
+parallelism later shards axis 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..numerics import reference as ref_numerics
+from ..ops import layout as layout_mod
+from ..ops import gemm as gemm_mod
+from . import llama
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    num_experts: int = 8
+    top_k: int = 2
+    capacity_factor: float = 2.0
+
+
+def quantize_moe_linear(ws_kn: np.ndarray, fmt: str = "mxfp4") -> dict:
+    """Stack per-expert quantized layers. ws_kn: (E, k, n) dense."""
+    E = ws_kn.shape[0]
+    words, scales, gss = [], [], []
+    group = 16 if fmt == "nvfp4" else 32
+    quant = (ref_numerics.quantize_nvfp4 if fmt == "nvfp4"
+             else ref_numerics.quantize_mxfp4)
+    for e in range(E):
+        w = np.asarray(ws_kn[e], np.float32).T  # (n, k)
+        qw, sc, gs = quant(w)
+        n, k = w.shape
+        words.append(layout_mod.repack_fp4_weights(
+            qw, n, k, pad_to=layout_mod.pad_multiple(group)))
+        scales.append(layout_mod.process_fp4_scales(sc, n, k,
+                                                    group_size=group))
+        gss.append(gs)
+    return {"words": jnp.asarray(np.stack(words)),
+            "scales": jnp.asarray(np.stack(scales)),
+            "gs": jnp.asarray(np.stack(gss))}
+
+
+def _expert_mul(x, layer: dict, e: int, fmt: str, interpret: bool):
+    m, k = x.shape
+    n = layer["words"].shape[-1]
+    mul = (gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4"
+           else gemm_mod.mul_mxfp4_a16)
+    return mul(x, layer["words"][e], layer["scales"][e], layer["gs"][e],
+               m, n, k, -1, interpret=interpret)
+
+
+def moe_mlp(x: jax.Array, router_w: jax.Array, experts: dict,
+            moe_cfg: MoEConfig, *, fmt: str = "mxfp4",
+            interpret: bool = False) -> jax.Array:
+    """SwiGLU MoE block. x: (T, H) flattened tokens -> (T, H).
+
+    experts: {"w_gate": stacked, "w_up": stacked, "w_down": stacked}.
+    Top-k routing with per-expert capacity buckets; overflow tokens drop
+    (standard capacity-factor semantics).
+    """
+    T, H = x.shape
+    E, topk = moe_cfg.num_experts, moe_cfg.top_k
+    cap = int(np.ceil(T * topk / E * moe_cfg.capacity_factor))
+    cap = max(8, -(-cap // 8) * 8)
+
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
+    gate_vals, gate_idx = jax.lax.top_k(logits, topk)        # (T, topk)
+    gate_w = jax.nn.softmax(gate_vals, axis=-1)              # (T, topk)
+
+    out = jnp.zeros((T, H), jnp.float32)
+    flat_idx = gate_idx.reshape(-1)                          # (T*topk,)
+    flat_w = gate_w.reshape(-1)
+    flat_tok = jnp.repeat(jnp.arange(T), topk)
+
+    for e in range(E):
+        sel = flat_idx == e                                  # (T*topk,)
+        # stable order of selected slots, capacity-truncated
+        order = jnp.argsort(~sel)                            # selected first
+        slots = order[:cap]
+        valid = sel[slots]
+        toks = flat_tok[slots]
+        xe = x[toks] * valid[:, None].astype(x.dtype)        # (cap, H)
+        g = _expert_mul(xe, experts["w_gate"], e, fmt, interpret)
+        u = _expert_mul(xe, experts["w_up"], e, fmt, interpret)
+        h = (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+             * u)
+        y = _expert_mul(h, experts["w_down"], e, fmt, interpret)
+        contrib = (y.astype(jnp.float32)
+                   * (flat_w[slots] * valid)[:, None])
+        out = out.at[toks].add(contrib)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral model: llama attention + MoE MLP
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig(llama.LlamaConfig):
+    num_experts: int = 8
+    top_k: int = 2
+
+    @staticmethod
+    def mixtral_8x7b(**kw):
+        return MixtralConfig(**{**dict(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6), **kw})
+
+    @staticmethod
+    def tiny(**kw):
+        return MixtralConfig(**{**dict(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_seq_len=64, num_experts=4, top_k=2), **kw})
+
+
+def init_params(cfg: MixtralConfig, key: jax.Array, dtype=jnp.bfloat16):
+    base = llama.init_params(
+        llama.LlamaConfig(**{f.name: getattr(cfg, f.name)
+                             for f in dataclasses.fields(llama.LlamaConfig)}),
+        key, dtype)
+    ks = jax.random.split(key, cfg.num_layers + 1)
+    h, f, E = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+    for i, lp in enumerate(base["layers"]):
+        sk = jax.random.split(ks[i], 4)
+        for name in ("w_gate", "w_up", "w_down"):
+            del lp[name]
+        lp["router"] = (jax.random.normal(sk[0], (h, E), jnp.float32)
+                        * 0.02).astype(dtype)
+        s = 1.0 / np.sqrt(h)
+        lp["experts"] = {
+            "w_gate": {"w": (jax.random.normal(sk[1], (E, h, f)) * s
+                             ).astype(dtype)},
+            "w_up": {"w": (jax.random.normal(sk[2], (E, h, f)) * s
+                           ).astype(dtype)},
+            "w_down": {"w": (jax.random.normal(sk[3], (E, f, h))
+                             / np.sqrt(f)).astype(dtype)},
+        }
+    return base
+
+
+def quantize_params(params: dict, cfg: MixtralConfig, fmt: str = "mxfp4"):
+    """Quantize attention projections (NVFP4) + expert weights (fmt)."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
+    for lp in params["layers"]:
+        q = dict(lp)
+        for name in ("wq", "wk", "wv", "wo"):
+            w = np.asarray(lp[name]["w"], np.float32)
+            if w.shape[0] % 128 == 0 and w.shape[1] % 16 == 0:
+                q[name] = llama.quantize_linear(w, "nvfp4")
+        ex = lp["experts"]
+        q["experts"] = {
+            name: quantize_moe_linear(
+                np.asarray(ex[name]["w"], np.float32), fmt)
+            for name in ("w_gate", "w_up", "w_down")
+        }
+        out["layers"].append(q)
+    return out
+
+
+def forward(params, tokens, cfg: MixtralConfig, cache=None, pos=None, *,
+            attn_fmt: str = "nvfp4", moe_fmt: str = "mxfp4",
+            interpret: bool = False):
+    moe_cfg = MoEConfig(cfg.num_experts, cfg.top_k)
+    B, T = tokens.shape
+    x = params["embed"][tokens]
+    if pos is None:
+        pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    new_cache = []
+    for i, lp in enumerate(params["layers"]):
+        h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        a, c = llama.attention(h, lp, None if cache is None else cache[i],
+                               pos, cfg, mask, fmt=attn_fmt,
+                               interpret=interpret)
+        x = x + a
+        h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        ex = lp["experts"]
+        if "words" in ex["w_gate"]:
+            y = moe_mlp(h.reshape(B * T, -1), lp["router"], ex, moe_cfg,
+                        fmt=moe_fmt, interpret=interpret)
+        else:
+            # dense experts oracle path
+            y = _dense_moe(h.reshape(B * T, -1), lp["router"], ex, moe_cfg)
+        x = x + y.reshape(B, T, -1)
+        new_cache.append(c)
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama.linear(x, params["lm_head"], interpret=interpret)
+    return logits, (new_cache if cache is not None else None)
+
+
+def _dense_moe(x, router_w, experts, moe_cfg: MoEConfig):
+    """Dense-weight oracle with identical routing semantics (no capacity
+    drop: used on tiny shapes where cap >= all tokens)."""
+    T, H = x.shape
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
+    gate_vals, gate_idx = jax.lax.top_k(logits, moe_cfg.top_k)
+    gate_w = jax.nn.softmax(gate_vals, axis=-1)
+    out = jnp.zeros((T, H), jnp.float32)
+    for e in range(moe_cfg.num_experts):
+        wg, wu, wd = (experts[n]["w"][e] for n in ("w_gate", "w_up", "w_down"))
+        g = jnp.dot(x, wg, preferred_element_type=jnp.float32)
+        u = jnp.dot(x, wu, preferred_element_type=jnp.float32)
+        h = jax.nn.silu(g) * u
+        y = jnp.dot(h.astype(x.dtype), wd, preferred_element_type=jnp.float32)
+        w_e = jnp.where(gate_idx == e, gate_w, 0.0).sum(-1)   # (T,)
+        out = out + y * w_e[:, None]
+    return out.astype(x.dtype)

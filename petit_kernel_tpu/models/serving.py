@@ -1,0 +1,137 @@
+"""Continuous-batching serving engine for FP4 models.
+
+The reference delegates serving to SGLang/vLLM (README.md:21); the north
+star requires a native path (BASELINE.json config 5: continuous batching,
+FP8 KV cache). This is the TPU-native engine core: a slot-based batch with
+static shapes (jit-stable), per-slot positions, insert-on-free-slot and
+evict-on-finish — the scheduler half of continuous batching, with the
+model step as the compiled inner loop.
+
+Design notes (TPU-first):
+  - All state is fixed-shape jnp arrays: cache (per layer, (B, S, h, d)),
+    pos (B,), active (B,) — one compiled decode-step program serves any
+    mix of requests (no recompiles as requests come and go).
+  - Prefill runs per request into its slot (right-aligned positions);
+    decode steps the whole batch each tick, masking inactive slots.
+  - FP8 KV: pass cache_dtype=jnp.float8_e4m3fn.
+  - Multi-host DP: run one engine per host over its DP shard; TP is inside
+    the model forward (parallel/tp.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import llama
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    tokens: np.ndarray          # prompt token ids, (T,)
+    max_new_tokens: int = 32
+    eos_id: int = -1            # -1: never stops on eos
+
+
+class Engine:
+    """Slot-based continuous batching over a llama-family FP4 model."""
+
+    def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
+                 fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
+                 interpret: bool = False):
+        self.params = params
+        self.cfg = cfg
+        self.B = max_batch
+        self.fmt = fmt
+        self.interpret = interpret
+        self.cache = llama.init_cache(cfg, max_batch, cache_dtype)
+        self.pos = np.zeros(max_batch, np.int32)       # next position
+        self.active = np.zeros(max_batch, bool)
+        self.last_tok = np.zeros(max_batch, np.int32)
+        self.slot_req: list[Optional[Request]] = [None] * max_batch
+        self.generated: dict[int, list[int]] = {}
+        self.finished: dict[int, list[int]] = {}
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode_step(params, cache, toks, pos):
+            logits, cache = llama.forward(
+                params, toks[:, None], cfg, cache, pos[:, None],
+                fmt=fmt, interpret=interpret)
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+        self._decode_step = _decode_step
+
+    # -- scheduling ---------------------------------------------------------
+
+    def has_capacity(self) -> bool:
+        return not self.active.all()
+
+    def add_request(self, req: Request) -> int:
+        """Prefill a request into a free slot; returns the slot index."""
+        free = np.flatnonzero(~self.active)
+        if free.size == 0:
+            raise RuntimeError("no free slot")
+        slot = int(free[0])
+        T = len(req.tokens)
+        assert T + req.max_new_tokens <= self.cfg.max_seq_len
+        toks = jnp.asarray(req.tokens, jnp.int32)[None, :]
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        # per-request prefill into this slot's cache rows
+        logits, layer_caches = llama.forward(
+            self.params, toks, self.cfg,
+            [(k[slot:slot + 1], v[slot:slot + 1]) for (k, v) in self.cache],
+            pos, fmt=self.fmt, interpret=self.interpret)
+        for i, (k1, v1) in enumerate(layer_caches):
+            k, v = self.cache[i]
+            self.cache[i] = (k.at[slot:slot + 1].set(k1),
+                             v.at[slot:slot + 1].set(v1))
+        first = int(jnp.argmax(logits[0, -1]))
+        self.pos[slot] = T
+        self.active[slot] = True
+        self.last_tok[slot] = first
+        self.slot_req[slot] = req
+        self.generated[req.uid] = [first]
+        return slot
+
+    def _finish(self, slot: int):
+        req = self.slot_req[slot]
+        self.finished[req.uid] = self.generated.pop(req.uid)
+        self.active[slot] = False
+        self.slot_req[slot] = None
+
+    def step(self) -> int:
+        """One decode tick over all active slots; returns #active."""
+        if not self.active.any():
+            return 0
+        toks = jnp.asarray(self.last_tok)
+        pos = jnp.asarray(self.pos)
+        nxt, self.cache = self._decode_step(self.params, self.cache, toks,
+                                            pos)
+        nxt = np.asarray(nxt)
+        for slot in np.flatnonzero(self.active):
+            req = self.slot_req[slot]
+            self.generated[req.uid].append(int(nxt[slot]))
+            self.pos[slot] += 1
+            self.last_tok[slot] = int(nxt[slot])
+            done = (len(self.generated[req.uid]) >= req.max_new_tokens
+                    or int(nxt[slot]) == req.eos_id
+                    or self.pos[slot] + 1 >= self.cfg.max_seq_len)
+            if done:
+                self._finish(slot)
+        return int(self.active.sum())
+
+    def run(self, requests: list[Request]) -> dict[int, list[int]]:
+        """Serve a list of requests to completion with continuous batching:
+        new requests join as slots free up, decode proceeds every tick."""
+        pending = list(requests)
+        while pending or self.active.any():
+            while pending and self.has_capacity():
+                self.add_request(pending.pop(0))
+            self.step()
+        return dict(self.finished)

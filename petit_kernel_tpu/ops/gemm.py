@@ -79,15 +79,18 @@ def _validate_and_prepare(a, b, s, m, n, k, group: int):
         raise ValueError(f"a dtype must be bf16/f16/f32, got {a.dtype}")
     if b.dtype != jnp.uint32 and b.dtype != jnp.int32:
         raise ValueError(f"b must be the uint32 repacked weights, got {b.dtype}")
-    if b.shape != (k // 8, n):
+    from . import layout
+    kp = layout.padded_k(k, layout.pad_multiple(group))
+    if b.shape != (kp // 8, n):
         raise ValueError(
-            f"b must be repack output (k/8, n) = {(k // 8, n)}, got {b.shape}")
+            f"b must be repack output (k_padded/8, n) = {(kp // 8, n)}, "
+            f"got {b.shape}")
     if s.dtype != jnp.uint8:
         raise ValueError(f"s must be uint8 processed scales, got {s.dtype}")
-    if s.shape != (k // group, n):
+    if s.shape != (kp // group, n):
         raise ValueError(
-            f"s must be processed scales (k/{group}, n) = "
-            f"{(k // group, n)}, got {s.shape}")
+            f"s must be processed scales (k_padded/{group}, n) = "
+            f"{(kp // group, n)}, got {s.shape}")
     if k % 128 != 0:
         raise ValueError(f"k = {k} must be a multiple of 128")
     return a, b.view(jnp.uint32) if b.dtype == jnp.int32 else b, s

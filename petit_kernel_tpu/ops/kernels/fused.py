@@ -48,13 +48,15 @@ def decode_quarter(words: jax.Array, j: int) -> jax.Array:
     """Decode quarter j of packed words (R, C) u32 -> (2R, C) bf16 values
     (unscaled). Row 2r = slot j (low half), row 2r+1 = slot j+4 (high half),
     i.e. consecutive k by the layout contract (ops/layout.py)."""
-    x = (words >> np.uint32(4 * j)) & _PAIR_MASK
-    mag = x & _MAG_MASK
+    if j:
+        mag = (words >> np.uint32(4 * j)) & _MAG_MASK
+    else:
+        mag = words & _MAG_MASK
+    sgn = (words << np.uint32(12 - 4 * j)) & _SGN_MASK
     nrm = (mag << np.uint32(6)) + _NRM_BIAS
     y = pltpu.bitcast(nrm, jnp.bfloat16)                    # (2R, C), > 0
     t = jnp.minimum(jnp.bfloat16(2) * y - jnp.bfloat16(1), y)
-    sf = pltpu.bitcast(((x << np.uint32(12)) & _SGN_MASK) | _ONE_BITS,
-                       jnp.bfloat16)
+    sf = pltpu.bitcast(sgn | _ONE_BITS, jnp.bfloat16)       # +-1.0
     return t * sf
 
 
@@ -76,17 +78,29 @@ def decode_scales_e8m0(s_u8: jax.Array) -> jax.Array:
     return pltpu.bitcast(s_u8.astype(jnp.int32) << 23, jnp.float32)
 
 
+def _expand_scales(sc_f32: jax.Array, rows_per_group: int,
+                   out_dtype=jnp.bfloat16) -> jax.Array:
+    """Broadcast (G, C) scales to (G*rows_per_group, C) via a tiny one-hot
+    matmul. A sublane reshape-broadcast costs Mosaic relayout shuffles on
+    the VPU (measured ~40% of kernel time); the MXU does the expansion for
+    free in the dot pipeline. Exact: one-hot selection in f32."""
+    g, c = sc_f32.shape
+    r = g * rows_per_group
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, g), 0) // rows_per_group
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, g), 1)
+    expand = (row == col).astype(jnp.bfloat16)
+    return jnp.dot(expand, sc_f32.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
 def _apply_scales(deq: jax.Array, sc_f32: jax.Array, rows_per_group: int,
                   out_dtype=jnp.bfloat16) -> jax.Array:
     """Multiply (G*rows_per_group, C) bf16 values by (G, C) scales."""
-    g, c = sc_f32.shape
-    d3 = deq.reshape(g, rows_per_group, c)
-    return (d3 * sc_f32.astype(out_dtype)[:, None, :]).reshape(
-        g * rows_per_group, c)
+    return deq * _expand_scales(sc_f32, rows_per_group, out_dtype)
 
 
-def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
-                  out_ref, acc_ref, *, nk: int, group: int,
+def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
+                  out_ref, acc_ref, *, nk: int, group: int, srows: int,
                   element_b: ElementB, high_precision: bool):
     kk = pl.program_id(2)
 
@@ -97,10 +111,13 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
     decode_scales = (decode_scales_e4m3 if element_b == ElementB.NVFP4
                      else decode_scales_e8m0)
     a_refs = (a0, a1, a2, a3)
-    s_refs = (s0, s1, s2, s3)
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
-        sc = decode_scales(s_refs[j][:])
+        # scales stay fully k-resident in VMEM (tiny: k/group rows); slice
+        # this quarter+step's rows. Mosaic's (8,128)-divisibility rule would
+        # otherwise forbid small per-step scale blocks (e.g. MXFP4 bk=512
+        # -> 4 rows).
+        sc = decode_scales(s_ref[pl.ds((j * nk + kk) * srows, srows), :])
         if high_precision:
             # True-f32 MXU path: without precision=HIGHEST, TPU matmuls
             # (and the Pallas interpreter emulating them) round f32 inputs
@@ -142,37 +159,39 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     interpret = interpret or jax.default_backend() == "cpu"
     m, k = a.shape
     kw, n = words.shape
-    assert kw * 8 == k, (kw, k)
     group = sid.group_size
-    assert scales_t.shape == (k // group, n)
+    kp = kw * 8           # repack-padded k (layout.K_PAD / K_PAD_MX)
+    assert kp >= k and kp - k < (512 if group == 16 else 1024), (kp, k)
+    assert scales_t.shape == (kp // group, n)
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
-    assert k % bk == 0, (k, bk)
+    assert kp % bk == 0, (kp, bk)
+    assert bk % 512 == 0, bk  # Mosaic: A quarter block last dim % 128
 
     m_pad = -(-m // bm) * bm
     n_pad = -(-n // bn) * bn
-    if m_pad != m:
-        a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
+    if m_pad != m or kp != k:
+        # k-padding is safe: the padded weight words are zero nibbles, so
+        # they contribute exactly 0 regardless of A's padded values (which
+        # are also zeros here).
+        a = jnp.pad(a, ((0, m_pad - m), (0, kp - k)))
     if n_pad != n:
         words = jnp.pad(words, ((0, 0), (0, n_pad - n)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, n_pad - n)))
 
-    nm, nn, nk = m_pad // bm, n_pad // bn, k // bk
-    kq = k // 4           # global k-quarter length
+    nm, nn, nk = m_pad // bm, n_pad // bn, kp // bk
     kb4 = bk // 4         # per-step rows per quarter
     srows = kb4 // group  # scale rows per quarter per step
+    sg = kp // group      # total scale rows (fully VMEM-resident per block)
 
     def a_map(j):
         return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
-
-    def s_map(j):
-        return lambda i, nn_, kk_, j=j: (j * nk + kk_, nn_)
 
     a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
                for j in range(4)]
     w_spec = pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
                           memory_space=pltpu.VMEM)
-    s_specs = [pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
-               for j in range(4)]
+    s_spec = pl.BlockSpec((sg, bn), lambda i, nn_, kk_: (0, nn_),
+                          memory_space=pltpu.VMEM)
     gs_spec = pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
                            memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
@@ -185,16 +204,16 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         a = a.astype(jnp.bfloat16)
 
     kernel = functools.partial(
-        _fused_kernel, nk=nk, group=group, element_b=sid.element_b,
-        high_precision=sid.high_precision)
+        _fused_kernel, nk=nk, group=group, srows=srows,
+        element_b=sid.element_b, high_precision=sid.high_precision)
 
-    flops = 2 * m_pad * n_pad * k
+    flops = 2 * m_pad * n_pad * kp
     bytes_accessed = (words.size * 4 + scales_t.size + a.size * a.dtype.itemsize
                       + m_pad * n_pad * 2)
     out = pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
-        in_specs=[*a_specs, w_spec, *s_specs, gs_spec],
+        in_specs=[*a_specs, w_spec, s_spec, gs_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -204,7 +223,7 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
-    )(a, a, a, a, words, scales_t, scales_t, scales_t, scales_t, gs)
+    )(a, a, a, a, words, scales_t, gs)
     return out[:m, :n]
 
 
@@ -214,49 +233,48 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 # (quantization_utils.cu:306-727).
 # ---------------------------------------------------------------------------
 
-def _dequant_kernel(w_ref, s0, s1, s2, s3, out_ref, *, group: int,
-                    element_b: ElementB):
+def _dequant_kernel(w_ref, s_ref, out_ref, *, group: int, srows: int,
+                    nk: int, element_b: ElementB):
+    kk = pl.program_id(0)
     decode_scales = (decode_scales_e4m3 if element_b == ElementB.NVFP4
                      else decode_scales_e8m0)
-    s_refs = (s0, s1, s2, s3)
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
-        out_ref[j] = _apply_scales(deq, decode_scales(s_refs[j][:]), group)
+        sc = decode_scales(s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+        out_ref[j] = _apply_scales(deq, sc, group)
 
 
 @functools.partial(jax.jit, static_argnames=("element_b", "block_k",
                                              "block_n", "interpret"))
 def dequant_tpu_layout(words: jax.Array, scales_t: jax.Array, *,
                        element_b: ElementB = ElementB.NVFP4,
-                       block_k: int = 512, block_n: int = 256,
+                       block_k: int = 2048, block_n: int = 256,
                        interpret: bool = False) -> jax.Array:
-    """Dequantize petit-tpu packed weights -> bf16 (k, n)."""
+    """Dequantize petit-tpu packed weights -> bf16 (k, n), k incl. padding."""
     interpret = interpret or jax.default_backend() == "cpu"
     kw, n = words.shape
     k = kw * 8
     group = 16 if element_b == ElementB.NVFP4 else 32
     bk = min(block_k, k)
     bn = min(block_n, n)
-    assert k % bk == 0 and n % bn == 0
+    assert k % bk == 0 and n % bn == 0 and bk % 512 == 0, (k, bk, n, bn)
     nk, nn = k // bk, n // bn
     kb4, srows = bk // 4, bk // 4 // group
 
-    def s_map(j):
-        return lambda kk_, nn_, j=j: (j * nk + kk_, nn_)
-
     out = pl.pallas_call(
-        functools.partial(_dequant_kernel, group=group, element_b=element_b),
+        functools.partial(_dequant_kernel, group=group, srows=srows, nk=nk,
+                          element_b=element_b),
         grid=(nk, nn),
         in_specs=[
             pl.BlockSpec((bk // 8, bn), lambda kk_, nn_: (kk_, nn_),
                          memory_space=pltpu.VMEM),
-            *[pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
-              for j in range(4)],
+            pl.BlockSpec((k // group, bn), lambda kk_, nn_: (0, nn_),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, kb4, bn), lambda kk_, nn_: (0, kk_, nn_),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, k // 4, n), jnp.bfloat16),
         interpret=interpret,
-    )(words, scales_t, scales_t, scales_t, scales_t)
+    )(words, scales_t)
     # (4, k/4, n): quarter j holds k-range [j*k/4, (j+1)*k/4) -> natural k.
     return out.reshape(k, n)

@@ -47,6 +47,21 @@ from ..numerics import formats
 # keep the reference's contract of K % 128 == 0 (pybind/fp4.cc:44-46).
 K_ALIGN = 128
 N_ALIGN = 16
+# Repack zero-pads K up to a multiple of K_PAD so each k-quarter slab is a
+# Mosaic-legal (x128)-lane block on TPU; zero nibbles decode to 0.0 and the
+# GEMM wrapper zero-pads A to match, so padding contributes nothing.
+# MXFP4 pads to 1024 so each k-quarter covers >= 8 of its 32-wide scale
+# groups (Mosaic dynamic sublane slices must be 8-aligned).
+K_PAD = 512
+K_PAD_MX = 1024
+
+
+def pad_multiple(group_size: int) -> int:
+    return K_PAD if group_size == formats.NVFP4_GROUP_SIZE else K_PAD_MX
+
+
+def padded_k(size_k: int, multiple: int = K_PAD) -> int:
+    return -(-size_k // multiple) * multiple
 
 
 def _to_numpy_u8_qweights(qweights, size_n: int, size_k: int) -> np.ndarray:
@@ -71,15 +86,30 @@ def _validate_nk(size_n: int, size_k: int) -> None:
         raise ValueError(f"n = {size_n} must be a multiple of {N_ALIGN}")
 
 
-def repack_fp4_weights(qweights, size_n: int, size_k: int) -> np.ndarray:
+def repack_fp4_weights(qweights, size_n: int, size_k: int, *,
+                       pad_to: int = K_PAD,
+                       use_native: bool = True) -> np.ndarray:
     """Reference-layout qweights -> petit-tpu packed words, uint32 (k/8, n).
 
     Weight repack is identical for NVFP4 and MXFP4 (only scales differ), as
     in the reference where repack_mxfp4 aliases repack_nvfp4
     (petit_kernel/__init__.py:27-28).
+
+    Uses the native C++ runtime core (runtime/repack.cpp) when buildable;
+    the numpy path below is the bit-identical fallback and spec.
     """
     _validate_nk(size_n, size_k)
     q = _to_numpy_u8_qweights(qweights, size_n, size_k)
+    kp = padded_k(size_k, pad_to)
+    if kp != size_k:
+        pad = np.zeros((size_n, (kp - size_k) // 2), np.uint8)
+        q = np.concatenate([q, pad], axis=1)
+        size_k = kp
+    if use_native:
+        from .. import runtime
+        out = runtime.repack_fp4_native(q, size_n, size_k)
+        if out is not None:
+            return out
     nib = formats.unpack_fp4_pairs(q)            # (n, k) codes
     nib = np.where(nib == 8, np.uint8(0), nib)   # mask negative zero
     nib_t = nib.T.astype(np.uint32)              # (k, n)
@@ -94,16 +124,18 @@ def repack_fp4_weights(qweights, size_n: int, size_k: int) -> np.ndarray:
 
 
 def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarray:
-    """Inverse of repack_fp4_weights -> nibble codes (n, k). Test/debug path,
-    analog of DequantPetitFp4's layout walk (quantization_utils.cu:306-727)."""
-    k, n = size_k, size_n
-    assert words.shape == (k // 8, n)
+    """Inverse of repack_fp4_weights -> nibble codes (n, size_k), dropping
+    any K_PAD padding. Test/debug path, analog of DequantPetitFp4's layout
+    walk (quantization_utils.cu:306-727)."""
+    n = size_n
+    k = words.shape[0] * 8  # padded k
+    assert words.shape == (k // 8, n) and k >= size_k
     nib_t = np.zeros((k, n), dtype=np.uint8)
     for s in range(8):
         j, h = s & 3, s >> 2
         rows = ((words >> (4 * s)) & 0xF).astype(np.uint8)
         nib_t[j * (k // 4) + h: j * (k // 4) + h + k // 4: 2] = rows
-    return nib_t.T
+    return nib_t[:size_k].T
 
 
 def process_fp4_scales(scales, size_n: int, size_k: int, *,
@@ -130,7 +162,12 @@ def process_fp4_scales(scales, size_n: int, size_k: int, *,
     else:
         if np.any(s == 0xFF):
             raise ValueError("MXFP4 E8M0 scales must not be NaN (0xFF)")
-    return np.ascontiguousarray(s.T)
+    out = np.ascontiguousarray(s.T)
+    kp = padded_k(size_k, pad_multiple(group_size))
+    if kp != size_k:  # zero scale bytes for the padded (all-zero) k region
+        pad = np.zeros(((kp - size_k) // group_size, size_n), np.uint8)
+        out = np.concatenate([out, pad], axis=0)
+    return out
 
 
 def dequant_from_tpu_layout(words: np.ndarray, scales_t: np.ndarray,
@@ -142,11 +179,12 @@ def dequant_from_tpu_layout(words: np.ndarray, scales_t: np.ndarray,
     must equal dequant-from-native), mirroring NvFp4ToPetitFp4Test::
     TestConvert (quantization_utils_fp4_test.cc:103-133).
     """
-    nib = unpack_fp4_weights(words, size_n, size_k)      # (n, k)
-    vals = formats.fp4_decode(nib)                       # (n, k) f32
+    nib = unpack_fp4_weights(words, size_n, size_k)      # (n, size_k)
+    vals = formats.fp4_decode(nib)                       # (n, size_k) f32
+    sgroups = size_k // group_size
     if group_size == formats.NVFP4_GROUP_SIZE:
-        sc = formats.e4m3_decode(scales_t.T)             # (n, k/16)
+        sc = formats.e4m3_decode(scales_t[:sgroups].T)   # (n, size_k/16)
     else:
-        sc = formats.e8m0_decode(scales_t.T)
+        sc = formats.e8m0_decode(scales_t[:sgroups].T)
     deq = (vals.reshape(size_n, -1, group_size) * sc[:, :, None])
-    return deq.reshape(size_n, size_k).T                 # (k, n)
+    return deq.reshape(size_n, size_k).T                 # (size_k, n)

@@ -33,11 +33,13 @@ class MatmulType(enum.IntEnum):
 
 
 # Block-size quanta. block_m in sublane multiples of 16 (bf16 tile),
-# block_n in lane multiples of 128, block_k in multiples of 64 so each
-# k-quarter slab (block_k/4) stays 16-row aligned for NVFP4 scale groups.
+# block_n in lane multiples of 128, block_k in multiples of 512 so each
+# k-quarter slab (block_k/4) is a Mosaic-legal x128-lane A block (weights
+# are repacked with K zero-padded to 512, layout.K_PAD, so any logical k
+# with k % 128 == 0 is served).
 BLOCK_M_UNIT = 16
 BLOCK_N_UNIT = 128
-BLOCK_K_UNIT = 64
+BLOCK_K_UNIT = 512
 
 
 @dataclasses.dataclass(frozen=True, order=True)
@@ -92,19 +94,25 @@ class SolutionHints:
 # tile combos; ours is the Pallas block-shape family).
 _BLOCK_MS = (16, 32, 64, 128, 256, 512)
 _BLOCK_NS = (128, 256, 512, 1024, 2048)
-_BLOCK_KS = (128, 256, 512, 1024, 2048)
+_BLOCK_KS = (512, 1024, 2048, 4096)
+
+
+def _padded_k(k: int, group_size: int = 16) -> int:
+    from . import layout
+    return layout.padded_k(k, layout.pad_multiple(group_size))
 
 # Per-step VMEM budget (bytes) used by the feasibility filter. Conservative
 # default for ~16 MiB/core VMEM with double buffering headroom.
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def vmem_estimate(sid: SolutionId) -> int:
+def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
     """Rough per-grid-step VMEM bytes incl. Pallas double buffering."""
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
     a = bm * (bk // 4) * 2 * 4        # four A k-slices, bf16
     w = (bk // 8) * bn * 4            # packed words, u32
-    s = (bk // sid.group_size) * bn   # scale bytes
+    # scales are fully k-resident per (i, n) block
+    s = (_padded_k(k) if k else bk) // sid.group_size * bn
     acc = bm * bn * 4                 # f32 accumulator scratch
     out = bm * bn * 2
     deq = 2 * (bk // 4) * bn * 4      # decode temporaries (f32-ish)
@@ -113,18 +121,26 @@ def vmem_estimate(sid: SolutionId) -> int:
 
 def is_feasible(sid: SolutionId, m: int, n: int, k: int) -> bool:
     """Feasibility filter, analog of algo_chooser.cc:68-84 (divisibility and
-    dtype checks). M and N are padded by the host wrapper, so only K
-    divisibility is hard; block_n/block_m are soft-capped to avoid absurd
-    padding."""
-    if k % sid.block_k != 0:
+    dtype checks). M and N are padded by the host wrapper and K is repacked
+    with zero-padding to layout.K_PAD, so divisibility is checked against
+    the padded K; block_n/block_m are soft-capped to avoid absurd padding."""
+    if sid.block_k % BLOCK_K_UNIT != 0:
         return False
-    if sid.block_k < 2 * sid.group_size * 4:  # each quarter >= one group
+    if _padded_k(k, sid.group_size) % sid.block_k != 0:
+        return False
+    # Mosaic dynamic sublane slices must be 8-aligned: the per-quarter scale
+    # row count must be a multiple of 8 (always true for NVFP4 at 512-unit
+    # block_k; requires block_k % 1024 == 0 for MXFP4's 32-wide groups).
+    if (sid.block_k // 4 // sid.group_size) % 8 != 0:
+        return False
+    # each k-quarter must cover an integer number of scale groups
+    if (sid.block_k // 4) % sid.group_size != 0:
         return False
     if sid.block_m > 2 * max(m, BLOCK_M_UNIT):
         return False
     if sid.block_n > 2 * max(n, BLOCK_N_UNIT):
         return False
-    if vmem_estimate(sid) > VMEM_BUDGET:
+    if vmem_estimate(sid, k) > VMEM_BUDGET:
         return False
     return True
 
@@ -157,13 +173,16 @@ def choose_default_solution(m: int, n: int, k: int,
     Checked against the autotuner on the Llama shape suite; the autotuned
     table overrides this when present.
     """
+    group = 16 if element_b == ElementB.NVFP4 else 32
+    kp = _padded_k(k, group)
+
     def best_bk(target: int) -> int:
+        min_bk = 8 * 4 * group  # >= 8 scale rows per quarter (Mosaic align)
         for bk in sorted(_BLOCK_KS, reverse=True):
-            if bk <= target and k % bk == 0 and bk >= 8 * (
-                    16 if element_b == ElementB.NVFP4 else 32):
+            if bk <= target and kp % bk == 0 and bk >= min_bk:
                 return bk
         for bk in sorted(_BLOCK_KS):
-            if k % bk == 0:
+            if kp % bk == 0 and bk >= min_bk:
                 return bk
         raise ValueError(f"no feasible block_k for k={k}")
 

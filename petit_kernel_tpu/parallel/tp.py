@@ -85,7 +85,8 @@ def quantize_linear_tp(w_kn: np.ndarray, tp: int, shard: str,
     group = 16 if fmt == "nvfp4" else 32
     if shard == "n":
         qw, scales, gs = quant(w)
-        words = layout_mod.repack_fp4_weights(qw, n, k)
+        words = layout_mod.repack_fp4_weights(
+            qw, n, k, pad_to=layout_mod.pad_multiple(group))
         st = layout_mod.process_fp4_scales(scales, n, k, group_size=group)
         return {"words": jnp.asarray(words), "scales": jnp.asarray(st),
                 "gs": jnp.float32(gs)}
@@ -103,7 +104,8 @@ def quantize_linear_tp(w_kn: np.ndarray, tp: int, shard: str,
             qw, scales, _ = ref_numerics.quantize_nvfp4(wt, global_scale=gs)
         else:
             qw, scales, _ = ref_numerics.quantize_mxfp4(wt)
-        words_parts.append(layout_mod.repack_fp4_weights(qw, n, ks))
+        words_parts.append(layout_mod.repack_fp4_weights(
+            qw, n, ks, pad_to=layout_mod.pad_multiple(group)))
         scale_parts.append(layout_mod.process_fp4_scales(
             scales, n, ks, group_size=group))
     return {"words": jnp.asarray(np.concatenate(words_parts, axis=0)),

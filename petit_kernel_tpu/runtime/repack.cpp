@@ -1,0 +1,112 @@
+// Native repack core: reference-layout FP4 checkpoints -> petit-tpu layout.
+//
+// C++ analog of the reference's offline repack kernels
+// (lib/gemm/rocm/quantization/quantization_utils.cu:183-304). The GPU
+// reference shuffles on-device; on TPU the repack runs on the host at
+// checkpoint-load time, so the native implementation is a multithreaded CPU
+// transform (a 70B checkpoint is ~35 GB of packed nibbles; numpy does this
+// at ~1 GB/s, this core runs at memory speed).
+//
+// Layout contract (must match ops/layout.py exactly, see its module doc):
+//   out word (r, c), slot s = j + 4h (bits 4s..4s+3) holds the E2M1 nibble
+//   of column n=c at k = j*(K/4) + 2r + h. Negative-zero nibbles (0x8) are
+//   masked to +0.
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+inline uint8_t nib_at(const uint8_t* row, int64_t kk) {
+  uint8_t byte = row[kk >> 1];
+  uint8_t nib = (kk & 1) ? (byte >> 4) : (byte & 0xF);
+  return nib == 8 ? 0 : nib;  // mask negative zero
+}
+
+void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
+                 int64_t r0, int64_t r1) {
+  const int64_t kq = k / 4;
+  // Tile over columns to keep qw row segments in cache.
+  constexpr int64_t CB = 128;
+  for (int64_t c0 = 0; c0 < n; c0 += CB) {
+    const int64_t c1 = std::min(c0 + CB, n);
+    for (int64_t r = r0; r < r1; ++r) {
+      uint32_t* out_row = out + r * n;
+      for (int64_t c = c0; c < c1; ++c) {
+        const uint8_t* row = qw + c * (k / 2);
+        uint32_t w = 0;
+        for (int s = 0; s < 8; ++s) {
+          const int j = s & 3, h = s >> 2;
+          const int64_t kk = static_cast<int64_t>(j) * kq + 2 * r + h;
+          w |= static_cast<uint32_t>(nib_at(row, kk)) << (4 * s);
+        }
+        out_row[c] = w;
+      }
+    }
+  }
+}
+
+void transpose_u8(const uint8_t* src, uint8_t* dst, int64_t rows,
+                  int64_t cols, int64_t r0, int64_t r1) {
+  // src (rows, cols) -> dst (cols, rows); parallel over src rows chunk.
+  constexpr int64_t TB = 64;
+  for (int64_t c0 = 0; c0 < cols; c0 += TB) {
+    const int64_t c1 = std::min(c0 + TB, cols);
+    for (int64_t r = r0; r < r1; ++r) {
+      for (int64_t c = c0; c < c1; ++c) {
+        dst[c * rows + r] = src[r * cols + c];
+      }
+    }
+  }
+}
+
+template <typename F>
+void parallel_for(int64_t total, F&& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nthreads = std::max<int64_t>(1, std::min<int64_t>(hw, total));
+  if (nthreads == 1) {
+    fn(0, total);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (total + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    const int64_t lo = t * chunk, hi = std::min(lo + chunk, total);
+    if (lo >= hi) break;
+    threads.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// qw: (n, k/2) uint8 nibble pairs (low nibble = even k). out: (k/8, n) u32.
+// Returns 0 on success, nonzero on invalid shape.
+int petit_tpu_repack_fp4(const uint8_t* qw, uint32_t* out, int64_t n,
+                         int64_t k) {
+  if (k <= 0 || n <= 0 || (k % 128) != 0 || (n % 16) != 0) return 1;
+  parallel_for(k / 8, [&](int64_t r0, int64_t r1) {
+    repack_rows(qw, out, n, k, r0, r1);
+  });
+  return 0;
+}
+
+// scales: (n, k/group) uint8 -> out (k/group, n) uint8 (plain transpose; the
+// kernel decodes raw bytes). Validation of sign/NaN bytes stays in Python.
+int petit_tpu_process_scales(const uint8_t* scales, uint8_t* out, int64_t n,
+                             int64_t groups) {
+  if (n <= 0 || groups <= 0) return 1;
+  parallel_for(n, [&](int64_t r0, int64_t r1) {
+    transpose_u8(scales, out, n, groups, r0, r1);
+  });
+  return 0;
+}
+
+}  // extern "C"

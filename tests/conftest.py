@@ -2,10 +2,11 @@
 
 Real-TPU runs are exercised by bench.py / tools/, not pytest.
 
-Note: this image's axon sitecustomize initializes the PJRT layer at
-interpreter start, which makes XLA_FLAGS=--xla_force_host_platform_device_count
-ineffective; jax.config.update('jax_num_cpu_devices', ...) before first
-backend use still works, so use that.
+Note: this image's axon sitecustomize calls
+jax.config.update('jax_platforms', 'axon,cpu') at interpreter start, and
+config-level settings take precedence over the JAX_PLATFORMS env var — so
+the override here must also go through jax.config, before any backend is
+instantiated.
 """
 import os
 
@@ -17,7 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
-    pass  # older jax: XLA_FLAGS path above covers it
+    pass  # older jax: the XLA_FLAGS path above covers it

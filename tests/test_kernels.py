@@ -29,7 +29,8 @@ def make_case(m, n, k, fmt, seed):
     else:
         scales = rng.integers(120, 135, size=(n, k // group), dtype=np.uint8)
     gs = np.float32(rng.uniform(0.5, 2.0))
-    words = layout.repack_fp4_weights(qw, n, k)
+    words = layout.repack_fp4_weights(qw, n, k,
+                                      pad_to=layout.pad_multiple(group))
     st = layout.process_fp4_scales(scales, n, k, group_size=group)
     return a, qw, scales, gs, words, st
 
@@ -47,20 +48,26 @@ def test_standalone_dequant_kernel_bit_exact():
         group = 16 if fmt == "nvfp4" else 32
         out = fused.dequant_tpu_layout(
             jnp.asarray(words), jnp.asarray(st), element_b=eb,
-            block_k=256, block_n=128, interpret=True)
+            block_k=512 if fmt == "nvfp4" else 1024, block_n=128,
+            interpret=True)
         expect = layout.dequant_from_tpu_layout(words, st, 32, 512,
                                                 group_size=group)
-        # bf16 cast of exact products is still exact (<= 6 significand bits)
-        assert np.array_equal(np.asarray(out, np.float32), expect), fmt
+        # kernel output covers padded k; logical rows must match bit-exactly
+        # (bf16 cast of exact products is exact: <= 6 significand bits), and
+        # padded rows must be zero
+        out = np.asarray(out, np.float32)
+        assert np.array_equal(out[:512], expect), fmt
+        assert not out[512:].any(), fmt
 
 
 CASES = [
     # m, n, k, sid blocks (bm, bn, bk)
-    (16, 128, 512, (16, 128, 128)),
-    (1, 128, 512, (16, 128, 128)),     # m padding
-    (16, 192, 512, (16, 128, 256)),    # n padding (192 -> 256)
+    (16, 128, 512, (16, 128, 512)),
+    (1, 128, 512, (16, 128, 512)),     # m padding
+    (16, 192, 1024, (16, 128, 512)),   # n padding (192 -> 256), multi k-step
     (33, 128, 1024, (16, 128, 512)),   # m padding multi-block
-    (64, 256, 512, (32, 256, 128)),    # multi n-block
+    (64, 256, 1024, (32, 256, 1024)),  # multi n-block, single k-step
+    (16, 128, 384, (16, 128, 512)),    # k padding (384 -> 512)
 ]
 
 
@@ -69,8 +76,10 @@ CASES = [
 def test_fused_gemm_vs_oracle(m, n, k, blocks, fmt):
     eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
     sid = SolutionId(*blocks, element_b=eb)
-    if sid.block_k < 8 * sid.group_size:
-        pytest.skip("block_k below quarter-group minimum")
+    if (sid.block_k // 4 // sid.group_size) % 8 != 0:
+        # MXFP4 needs block_k % 1024 (8-aligned scale slices); retest the
+        # same shape at the doubled block
+        sid = SolutionId(blocks[0], blocks[1], 2 * blocks[2], element_b=eb)
     a, qw, scales, gs, words, st = make_case(m, n, k, fmt, seed=m * k + n)
     c = fused.fused_mul(
         jnp.asarray(a, jnp.bfloat16), jnp.asarray(words), jnp.asarray(st),
@@ -80,7 +89,7 @@ def test_fused_gemm_vs_oracle(m, n, k, blocks, fmt):
 
 
 def test_fused_gemm_high_precision():
-    sid = SolutionId(16, 128, 128, element_b=ElementB.NVFP4,
+    sid = SolutionId(16, 128, 512, element_b=ElementB.NVFP4,
                      high_precision=True)
     a, qw, scales, gs, words, st = make_case(16, 128, 512, "nvfp4", seed=9)
     c = fused.fused_mul(

@@ -16,7 +16,8 @@ def test_repack_roundtrip_nibbles(n, k):
     nib[nib == 8] = 0  # repack masks negative zero; compare mask-free
     qw = formats.pack_fp4_pairs(nib)
     words = layout.repack_fp4_weights(qw, n, k)
-    assert words.shape == (k // 8, n) and words.dtype == np.uint32
+    kp = layout.padded_k(k)
+    assert words.shape == (kp // 8, n) and words.dtype == np.uint32
     back = layout.unpack_fp4_weights(words, n, k)
     assert np.array_equal(back, nib)
 
@@ -61,9 +62,11 @@ def test_dequant_from_tpu_layout_matches_native(fmt):
     else:
         scales = rng.integers(1, 254, size=(n, k // group), dtype=np.uint8)
         native = reference.dequant_mxfp4(qw, scales)
-    words = layout.repack_fp4_weights(qw, n, k)
+    words = layout.repack_fp4_weights(qw, n, k,
+                                      pad_to=layout.pad_multiple(group))
     st = layout.process_fp4_scales(scales, n, k, group_size=group)
-    assert st.shape == (k // group, n)
+    assert st.shape == (layout.padded_k(k, layout.pad_multiple(group))
+                        // group, n)
     tiled = layout.dequant_from_tpu_layout(words, st, n, k, group_size=group)
     assert np.array_equal(tiled, native.T)  # bit-exact
 

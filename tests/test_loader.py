@@ -1,0 +1,108 @@
+"""HF checkpoint loader: synthetic safetensors round trip, both dense and
+pre-quantized (ModelOpt NVFP4) flavors."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import pytest
+
+from petit_kernel_tpu.models import llama, loader
+from petit_kernel_tpu.numerics import reference as refn
+
+st_numpy = pytest.importorskip("safetensors.numpy")
+
+CFG = dict(vocab_size=128, hidden_size=128, intermediate_size=256,
+           num_hidden_layers=2, num_attention_heads=4,
+           num_key_value_heads=2, head_dim=32, rope_theta=10000.0,
+           rms_norm_eps=1e-5)
+
+
+def _write_dense_ckpt(path, rng):
+    h, f, v = CFG["hidden_size"], CFG["intermediate_size"], CFG["vocab_size"]
+    q = CFG["num_attention_heads"] * CFG["head_dim"]
+    kv = CFG["num_key_value_heads"] * CFG["head_dim"]
+    t = {"model.embed_tokens.weight": rng.standard_normal((v, h)).astype(
+            ml_dtypes.bfloat16),
+         "model.norm.weight": np.ones(h, ml_dtypes.bfloat16),
+         "lm_head.weight": rng.standard_normal((v, h)).astype(
+            ml_dtypes.bfloat16)}
+    shapes = {"self_attn.q_proj": (q, h), "self_attn.k_proj": (kv, h),
+              "self_attn.v_proj": (kv, h), "self_attn.o_proj": (h, q),
+              "mlp.gate_proj": (f, h), "mlp.up_proj": (f, h),
+              "mlp.down_proj": (h, f)}
+    for i in range(CFG["num_hidden_layers"]):
+        pre = f"model.layers.{i}."
+        t[pre + "input_layernorm.weight"] = np.ones(h, ml_dtypes.bfloat16)
+        t[pre + "post_attention_layernorm.weight"] = np.ones(
+            h, ml_dtypes.bfloat16)
+        for name, (n, k) in shapes.items():
+            t[pre + name + ".weight"] = (
+                rng.standard_normal((n, k)).astype(ml_dtypes.bfloat16) / 8)
+    st_numpy.save_file(t, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as fp:
+        json.dump(CFG, fp)
+
+
+def test_load_dense_and_quantize(tmp_path):
+    rng = np.random.default_rng(0)
+    _write_dense_ckpt(tmp_path, rng)
+    cfg, params = loader.load_llama(str(tmp_path), fmt="nvfp4")
+    assert cfg.hidden_size == 128 and cfg.num_layers == 2
+    assert "words" in params["layers"][0]["wq"]
+    cfgb, dense = loader.load_llama(str(tmp_path), fmt="bf16")
+    # loading-then-quantizing must equal quantizing the loaded dense params
+    # (noise-free oracle; raw-dense comparison would measure FP4 noise)
+    qref = llama.quantize_params(dense, "nvfp4")
+    for i in range(cfg.num_layers):
+        for name in ("wq", "wo", "w_down"):
+            assert np.array_equal(
+                np.asarray(params["layers"][i][name]["words"]),
+                np.asarray(qref["layers"][i][name]["words"])), (i, name)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0,
+                              cfg.vocab_size)
+    lq, _ = llama.forward(params, toks, cfg, fmt="nvfp4", interpret=True)
+    assert np.isfinite(np.asarray(lq, np.float32)).all()
+
+
+def test_load_prequantized_modelopt(tmp_path):
+    rng = np.random.default_rng(1)
+    _write_dense_ckpt(tmp_path, rng)
+    # replace one projection with ModelOpt-style pre-quantized tensors and
+    # check the loader repacks it to the same result as quantizing the
+    # equivalent dense weight
+    n, k = 128, 128  # o_proj is (h, q) = (128, 128)
+    w = rng.standard_normal((n, k)).astype(np.float32) / 8
+    qw, scales, gs = refn.quantize_nvfp4(w)
+    t = st_numpy.load_file(os.path.join(tmp_path, "model.safetensors"))
+    pre = "model.layers.0.self_attn.o_proj"
+    del t[pre + ".weight"]
+    t[pre + ".weight"] = qw
+    # safetensors' numpy backend can't write fp8 dtypes; raw uint8 bytes
+    # carry the same bits (the loader views as uint8 regardless)
+    t[pre + ".weight_scale"] = scales
+    t[pre + ".weight_scale_2"] = np.asarray(gs, np.float32)
+    st_numpy.save_file(t, os.path.join(tmp_path, "model.safetensors"))
+
+    cfg, params = loader.load_llama(str(tmp_path), fmt="nvfp4")
+    layer = params["layers"][0]["wo"]
+    expect = llama.quantize_linear(w.T, "nvfp4")
+    # identical quantized tensors -> identical repack
+    assert np.array_equal(np.asarray(layer["words"]),
+                          np.asarray(expect["words"]))
+    assert np.array_equal(np.asarray(layer["scales"]),
+                          np.asarray(expect["scales"]))
+    assert float(layer["gs"]) == pytest.approx(float(expect["gs"]))
+
+
+def test_tied_embeddings(tmp_path):
+    rng = np.random.default_rng(2)
+    _write_dense_ckpt(tmp_path, rng)
+    t = st_numpy.load_file(os.path.join(tmp_path, "model.safetensors"))
+    del t["lm_head.weight"]
+    st_numpy.save_file(t, os.path.join(tmp_path, "model.safetensors"))
+    cfg, params = loader.load_llama(str(tmp_path), fmt="bf16")
+    assert params["lm_head"]["w"].shape == (cfg.hidden_size, cfg.vocab_size)

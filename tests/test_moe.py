@@ -1,0 +1,83 @@
+"""MoE grouped FP4 GEMM path: routing math vs dense oracle, tiny Mixtral
+forward (BASELINE.json config 4 analog at test scale)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from petit_kernel_tpu.models import moe, llama
+from petit_kernel_tpu.models.moe import MoEConfig, MixtralConfig
+
+
+def test_moe_mlp_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    T, H, F, E = 16, 128, 256, 4
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.5, jnp.bfloat16)
+    ws = {n: rng.standard_normal((E, kk, nn)).astype(np.float32) / 16
+          for n, (kk, nn) in dict(w_gate=(H, F), w_up=(H, F),
+                                  w_down=(F, H)).items()}
+    qexperts = {n: moe.quantize_moe_linear(ws[n], "mxfp4") for n in ws}
+    dexperts = {}
+    for n in ws:
+        # dense oracle from the exact dequantized expert weights
+        from petit_kernel_tpu.ops import layout as L
+        E_, kk, nn = ws[n].shape  # logical dims (repack pads k)
+        deq = np.stack([
+            L.dequant_from_tpu_layout(
+                np.asarray(qexperts[n]["words"][e]),
+                np.asarray(qexperts[n]["scales"][e]), nn, kk, group_size=32)
+            * float(qexperts[n]["gs"][e]) for e in range(E_)])
+        dexperts[n] = {"w": jnp.asarray(deq, jnp.bfloat16)}
+
+    cfg = MoEConfig(num_experts=E, top_k=2, capacity_factor=8.0)  # no drops
+    out_q = moe.moe_mlp(x, router, qexperts, cfg, fmt="mxfp4",
+                        interpret=True)
+    out_d = moe._dense_moe(x, router, dexperts, cfg)
+    np.testing.assert_allclose(np.asarray(out_q, np.float32),
+                               np.asarray(out_d, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_moe_capacity_drops_overflow():
+    """With capacity_factor tiny, overflow tokens must contribute zero (not
+    garbage)."""
+    rng = np.random.default_rng(1)
+    T, H, F, E = 32, 128, 128, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    # router sends everything to expert 0
+    router = jnp.asarray(np.stack([np.ones(H), -np.ones(H)], 1),
+                         jnp.bfloat16)
+    ws = {n: rng.standard_normal((E, kk, nn)).astype(np.float32) / 16
+          for n, (kk, nn) in dict(w_gate=(H, F), w_up=(H, F),
+                                  w_down=(F, H)).items()}
+    qex = {n: moe.quantize_moe_linear(ws[n], "mxfp4") for n in ws}
+    cfg = MoEConfig(num_experts=E, top_k=1, capacity_factor=0.5)
+    out = moe.moe_mlp(x, router, qex, cfg, fmt="mxfp4", interpret=True)
+    out = np.asarray(out, np.float32)
+    assert np.isfinite(out).all()
+    # capacity = ceil(32*1/2*0.5)=8 -> at most 8 tokens served
+    nonzero_rows = (np.abs(out).sum(-1) > 1e-6).sum()
+    assert nonzero_rows <= 16
+
+
+def test_tiny_mixtral_forward():
+    cfg = MixtralConfig.tiny()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                cfg.vocab_size)
+    # dense forward
+    logits_d, _ = moe.forward(params, tokens, cfg)
+    assert logits_d.shape == (2, 8, cfg.vocab_size)
+    # quantized forward
+    qparams = moe.quantize_params(params, cfg, fmt="mxfp4")
+    logits_q, _ = moe.forward(qparams, tokens, cfg, interpret=True)
+    ld = np.asarray(logits_d, np.float32)
+    lq = np.asarray(logits_q, np.float32)
+    assert np.isfinite(lq).all()
+    # FP4 attention + MXFP4 experts: loose distribution agreement
+    pd = jax.nn.log_softmax(ld, -1)
+    pq = jax.nn.log_softmax(lq, -1)
+    kl = float(jnp.sum(jnp.exp(pd) * (pd - pq), -1).mean())
+    assert kl < 0.1, kl

@@ -1,0 +1,123 @@
+"""Tensor-parallel FP4 forward on a virtual 8-device CPU mesh vs the
+single-device path. The multi-chip analog of the reference's (absent)
+distributed layer — validates the per-shard repack + Megatron shard_map
+design (parallel/tp.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from petit_kernel_tpu.models import llama
+from petit_kernel_tpu import parallel as par
+from petit_kernel_tpu.ops import gemm as gemm_mod
+from petit_kernel_tpu.ops import layout as layout_mod
+from petit_kernel_tpu.numerics import reference as refn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _mesh(dp, tp):
+    devs = np.array(jax.devices()[:dp * tp]).reshape(dp, tp)
+    return Mesh(devs, ("dp", "tp"))
+
+
+def test_quantize_linear_tp_kshard_matches_concat():
+    """Per-shard k repack must dequantize to the same matrix as slicing the
+    dense weight."""
+    rng = np.random.default_rng(0)
+    k, n, tp = 512, 64, 4
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    layer = par.quantize_linear_tp(w, tp, "k", "nvfp4")
+    ks = k // tp
+    ksp = layout_mod.padded_k(ks)
+    words = np.asarray(layer["words"])
+    scales = np.asarray(layer["scales"])
+    gs = float(layer["gs"])
+    for t in range(tp):
+        wt = words[t * ksp // 8:(t + 1) * ksp // 8]
+        st = scales[t * ksp // 16:(t + 1) * ksp // 16]
+        deq = layout_mod.dequant_from_tpu_layout(wt, st, n, ks,
+                                                 group_size=16) * gs
+        ref = w[t * ks:(t + 1) * ks]
+        # FP4 quantization error bounded by one scale step
+        assert np.abs(deq - ref).max() < np.abs(ref).max() * 0.25
+
+
+def test_tp_forward_matches_single_device():
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=16, num_kv_heads=4, head_dim=32,
+        max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = _mesh(2, 4)
+    qparams = par.quantize_params_tp(params, cfg, mesh, fmt="nvfp4")
+    fwd = par.make_tp_forward(cfg, mesh, fmt="nvfp4")
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0,
+                                cfg.vocab_size)
+    logits_tp = np.asarray(fwd(qparams, tokens), np.float32)
+    assert logits_tp.shape == (4, 8, cfg.vocab_size)
+
+    # single-device oracle: same quantization math, unsharded layers.
+    # column layers share quantization exactly; row layers are quantized
+    # per k-shard in TP, so compare against a dense model rebuilt from the
+    # EXACT TP dequants to isolate sharding correctness from quant noise.
+    dparams = {"embed": params["embed"], "final_norm": params["final_norm"],
+               "lm_head": params["lm_head"], "layers": []}
+    h, q = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    kv, f = cfg.num_kv_heads * cfg.head_dim, cfg.intermediate_size
+    dims = {"wq": (h, q), "wk": (h, kv), "wv": (h, kv), "wo": (q, h),
+            "w_gate": (h, f), "w_up": (h, f), "w_down": (f, h)}
+    for lp, dense_lp in zip(qparams["layers"], params["layers"]):
+        d = {"attn_norm": lp["attn_norm"], "mlp_norm": lp["mlp_norm"]}
+        for name, (kk, nn) in dims.items():
+            layer = lp[name]
+            if name in ("wo", "w_down"):
+                # row-sharded: per-shard repack, each shard k-padded
+                tp = mesh.shape["tp"]
+                ks = kk // tp
+                ksp = layout_mod.padded_k(ks)
+                words = np.asarray(layer["words"])
+                scales = np.asarray(layer["scales"])
+                parts = [layout_mod.dequant_from_tpu_layout(
+                    words[t * ksp // 8:(t + 1) * ksp // 8],
+                    scales[t * ksp // 16:(t + 1) * ksp // 16],
+                    nn, ks, group_size=16) for t in range(tp)]
+                deq = np.concatenate(parts, axis=0)
+            else:
+                deq = layout_mod.dequant_from_tpu_layout(
+                    np.asarray(layer["words"]), np.asarray(layer["scales"]),
+                    nn, kk, group_size=16)
+            d[name] = {"w": jnp.asarray(deq * float(layer["gs"]),
+                                        jnp.bfloat16)}
+        dparams["layers"].append(d)
+    logits_ref, _ = llama.forward(dparams, tokens, cfg)
+    logits_ref = np.asarray(logits_ref, np.float32)
+    np.testing.assert_allclose(logits_tp, logits_ref, rtol=0.06, atol=0.06)
+    agree = (logits_tp.argmax(-1) == logits_ref.argmax(-1)).mean()
+    assert agree >= 0.95, agree
+
+
+def test_dense_param_sharding_train_step():
+    """GSPMD path: dense model trains one step under TP+DP shardings."""
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=1, num_heads=8, num_kv_heads=4, head_dim=16,
+        max_seq_len=32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = _mesh(2, 4)
+    params_sh = par.shard_dense_params(params, mesh)
+    tokens = jnp.zeros((4, 16), jnp.int32)
+
+    def loss_fn(p, toks):
+        logits, _ = llama.forward(p, toks[:, :-1], cfg)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, toks[:, 1:][..., None], -1)
+        return nll.mean()
+
+    with mesh:
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params_sh, tokens)
+        jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))

@@ -12,7 +12,7 @@ from petit_kernel_tpu.ops.solution import SolutionId, ElementB, MatmulType
 def test_repr_roundtrip():
     for bm in (16, 64, 512):
         for bn in (128, 1024):
-            for bk in (128, 2048):
+            for bk in (512, 2048):
                 for eb in (ElementB.NVFP4, ElementB.MXFP4):
                     for mt in (MatmulType.BF16, MatmulType.FP16):
                         for hp in (False, True):
@@ -26,15 +26,24 @@ def test_repr_distinct():
 
 
 def test_feasibility_k_divisibility():
-    assert not S.is_feasible(SolutionId(16, 128, 512), 16, 128, 640)
-    assert S.is_feasible(SolutionId(16, 128, 128), 16, 128, 640)
+    # k=640 pads to 1024: bk=512 divides, bk=1024 divides, bk=1536 is not a
+    # valid unit, bk=2048 does not divide
+    assert S.is_feasible(SolutionId(16, 128, 512), 16, 128, 640)
+    assert S.is_feasible(SolutionId(16, 128, 1024), 16, 128, 640)
+    assert not S.is_feasible(SolutionId(16, 128, 2048), 16, 128, 640)
 
 
 def test_feasibility_group_minimum():
-    # MXFP4 quarter must cover >= one 32-group: block_k >= 256
-    sid = SolutionId(16, 128, 128, ElementB.MXFP4)
-    assert not S.is_feasible(sid, 16, 128, 1024)
-    assert S.is_feasible(SolutionId(16, 128, 256, ElementB.MXFP4), 16, 128, 1024)
+    # MXFP4 needs >= 8 scale rows per k-quarter (Mosaic 8-aligned sublane
+    # slices): block_k % 1024; NVFP4 is fine at 512.
+    assert not S.is_feasible(SolutionId(16, 128, 512, ElementB.MXFP4),
+                             16, 128, 1024)
+    assert S.is_feasible(SolutionId(16, 128, 1024, ElementB.MXFP4),
+                         16, 128, 1024)
+    assert S.is_feasible(SolutionId(16, 128, 512, ElementB.NVFP4),
+                         16, 128, 1024)
+    assert not S.is_feasible(SolutionId(16, 128, 1536, ElementB.MXFP4),
+                             16, 128, 1024)  # k not divisible
 
 
 def test_get_solutions_nonempty_llama_shapes():
@@ -58,20 +67,20 @@ def test_default_chooser_small_m_prefers_snug_block_m():
 
 
 def test_resolve_solution_explicit_id():
-    sid = SolutionId(16, 128, 128)
+    sid = SolutionId(16, 128, 512)
     got = G.resolve_solution(16, 128, 512, ElementB.NVFP4,
                              solution_id=sid.repr())
     assert got == sid
     with pytest.raises(ValueError):  # infeasible explicit id
         G.resolve_solution(16, 128, 640, ElementB.NVFP4,
-                           solution_id=SolutionId(16, 128, 512).repr())
+                           solution_id=SolutionId(16, 128, 2048).repr())
     with pytest.raises(ValueError):  # element_b mismatch
         G.resolve_solution(16, 128, 512, ElementB.MXFP4,
                            solution_id=sid.repr())
 
 
 def test_tuned_table_overrides_heuristic():
-    sid = SolutionId(32, 256, 256)
+    sid = SolutionId(32, 256, 512)
     key = (16, 1024, 512, int(ElementB.NVFP4), int(MatmulType.BF16), False)
     G.set_tuned_table({key: sid.repr()})
     try:

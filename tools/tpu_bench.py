@@ -1,6 +1,16 @@
-"""Accurate on-chip kernel timing: amortize dispatch overhead by looping
-inside one jit (fori_loop with an iteration-dependent A so nothing hoists),
-plus a pure HBM-stream kernel to establish the bandwidth ceiling."""
+"""On-chip kernel stage bisection + honest timing.
+
+The axon relay adds large, variable per-program latency, so all timing uses
+the marginal-cost protocol: run the same in-jit fori_loop at two iteration
+counts and report (T(n2) - T(n1)) / (n2 - n1).
+
+Variants isolate pipeline stages of the fused kernel:
+  stream      read packed words only (HBM DMA ceiling)
+  decode      + SWAR fp4->bf16 decode of all 4 quarters
+  scaled      + scale decode/broadcast multiply
+  full        + 4 MXU dots + epilogue (the real kernel)
+  dotonly     pre-dequantized bf16 B, same grid, dot only (2x bytes)
+"""
 import argparse
 import functools
 import time
@@ -11,82 +21,143 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import petit_kernel_tpu as pk
 from petit_kernel_tpu.numerics import formats
 from petit_kernel_tpu.ops import layout
 from petit_kernel_tpu.ops.kernels import fused
-from petit_kernel_tpu.ops.solution import SolutionId
+from petit_kernel_tpu.ops.solution import SolutionId, ElementB
 
 
-def timed(fn, *args, iters=20, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
+def marginal_time(make_loop, n1=50, n2=350, reps=3):
+    """Median marginal per-iteration time between two loop lengths; robust
+    to the relay's large fixed + variable per-program latency."""
+    f1, f2 = make_loop(n1), make_loop(n2)
+    jax.block_until_ready(f1())  # compile
+    jax.block_until_ready(f2())
+    deltas = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        jax.block_until_ready(f1())
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(f2())
+        tb = time.perf_counter() - t0
+        deltas.append((tb - ta) / (n2 - n1))
+    deltas.sort()
+    return deltas[len(deltas) // 2]
 
 
-def loop_fused(sid, iters, m, n, k):
-    @jax.jit
-    def run(a, b, s):
-        def body(i, acc):
-            ai = a + (i * jnp.int32(0)).astype(a.dtype)  # defeat hoisting
-            ai = ai.at[0, 0].add(jnp.bfloat16(1e-8) * i)
-            c = fused.fused_mul(ai, b, s, jnp.float32(1.0), sid=sid)
-            return acc + c[0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-    return run
+# --------------------------------------------------------------------------
+# variant kernels (share grid structure with the fused kernel)
+# --------------------------------------------------------------------------
 
+def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
+                    acc_ref, *, nk, group, srows, stage):
+    kk = pl.program_id(2)
 
-def loop_dense(iters):
-    @jax.jit
-    def run(a, bd):
-        def body(i, acc):
-            ai = a.at[0, 0].add(jnp.bfloat16(1e-8) * i)
-            c = jnp.dot(ai, bd, preferred_element_type=jnp.float32)
-            return acc + c[0, 0]
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-    return run
-
-
-# pure stream: read all words, accumulate a cheap reduction
-def _stream_kernel(w_ref, o_ref):
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    @pl.when(kk == 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-    w = pltpu.bitcast(w_ref[:], jnp.int32)
-    o_ref[:] += jnp.sum(w, axis=0, keepdims=True,
-                        dtype=jnp.int32).astype(jnp.float32)[0:1, 0:128]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a_refs = (a0, a1, a2, a3)
+    if stage == "stream":
+        w = pltpu.bitcast(w_ref[:], jnp.int32)
+        acc_ref[0:1, :] += jnp.sum(w, axis=0, keepdims=True,
+                                   dtype=jnp.int32).astype(jnp.float32)
+    else:
+        for j in range(4):
+            deq = fused.decode_quarter(w_ref[:], j)
+            if stage == "decode":
+                acc_ref[0:1, :] += jnp.sum(
+                    deq.astype(jnp.float32), axis=0, keepdims=True)
+                continue
+            sc = fused.decode_scales_e4m3(
+                s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+            b = fused._apply_scales(deq, sc, group)
+            if stage == "scaled":
+                acc_ref[0:1, :] += jnp.sum(
+                    b.astype(jnp.float32), axis=0, keepdims=True)
+                continue
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
 
 
-def stream_words(words, bk8=128, bn=2048):
-    kw, n = words.shape
-    grid = (kw // bk8, n // bn)
-    return pl.pallas_call(
-        _stream_kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec((bk8, bn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 128), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )(words)
+def variant_call(stage, sid, m, n, k):
+    bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
+    nm, nn, nk = max(m // bm, 1), n // bn, k // bk
+    kb4, srows = bk // 4, bk // 4 // 16
+
+    def a_map(j):
+        return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+
+    kern = functools.partial(_variant_kernel, nk=nk, group=16, srows=srows,
+                             stage=stage)
+
+    def call(a, w, s, gs):
+        return pl.pallas_call(
+            kern,
+            grid=(nm, nn, nk),
+            in_specs=[
+                *[pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
+                  for j in range(4)],
+                pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // 16, bn), lambda i, nn_, kk_: (0, nn_),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(m, bm), n), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(a, a, a, a, w, s, gs)
+    return call
 
 
-def loop_stream(iters, bk8, bn):
-    @jax.jit
-    def run(words):
-        def body(i, acc):
-            wi = words.at[0, 0].add(i.astype(jnp.uint32))
-            return acc + stream_words(wi, bk8, bn)[0, 0]
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-    return run
+def _dot_kernel(a_ref, b_ref, gs_ref, out_ref, acc_ref, *, nk):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
+
+
+def dotonly_call(sid, m, n, k):
+    bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
+    nm, nn, nk = max(m // bm, 1), n // bn, k // bk
+
+    def call(a, bd, gs):
+        return pl.pallas_call(
+            functools.partial(_dot_kernel, nk=nk),
+            grid=(nm, nn, nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, nn_, kk_: (i, kk_),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, nn_, kk_: (kk_, nn_),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(m, bm), n), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(a, bd, gs)
+    return call
 
 
 def main():
@@ -94,9 +165,17 @@ def main():
     p.add_argument("--m", type=int, default=16)
     p.add_argument("--n", type=int, default=8192)
     p.add_argument("--k", type=int, default=8192)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--blocks", type=str, default="16,1024,1024")
+    p.add_argument("--n1", type=int, default=50)
+    p.add_argument("--n2", type=int, default=350)
+    p.add_argument("--stages", type=str,
+                   default="stream,decode,scaled,full,dotonly")
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep block shapes of the real fused kernel")
     args = p.parse_args()
-    m, n, k, iters = args.m, args.n, args.k, args.iters
+    m, n, k = args.m, args.n, args.k
+    bm, bn, bk = map(int, args.blocks.split(","))
+    sid = SolutionId(bm, bn, bk)
 
     rng = np.random.default_rng(0)
     nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
@@ -106,37 +185,66 @@ def main():
               | rng.integers(0, 8, size=(n, k // 16), dtype=np.uint8))
     words = jnp.asarray(layout.repack_fp4_weights(qw, n, k))
     st = jnp.asarray(layout.process_fp4_scales(scales, n, k, group_size=16))
-    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    a = jnp.asarray(rng.standard_normal((max(m, bm), k)), jnp.bfloat16)
+    gs = jnp.asarray(1.0, jnp.float32).reshape(1, 1)
+    bd = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
     wbytes = words.size * 4 + st.size
 
-    print(f"problem m={m} n={n} k={k}; weight+scale bytes {wbytes/1e6:.1f} MB",
-          flush=True)
+    print(f"m={m} n={n} k={k} blocks=({bm},{bn},{bk}) "
+          f"wbytes={wbytes / 1e6:.1f}MB", flush=True)
 
-    t = timed(loop_stream(iters, 128, 2048), words, iters=iters)
-    print(f"pure stream       : {t*1e6:8.1f} us  {words.size*4/t/1e9:6.0f} GB/s",
-          flush=True)
+    def loop_of(call, *call_args):
+        def make(iters):
+            @jax.jit
+            def run():
+                def body(i, acc):
+                    a2 = call_args[0].at[0, 0].add(
+                        (i % 7).astype(call_args[0].dtype))
+                    c = call(a2, *call_args[1:])
+                    return acc + c[0, 0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return run
+        return make
 
-    bd = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
-    t = timed(loop_dense(iters), a, bd, iters=iters)
-    print(f"dense bf16        : {t*1e6:8.1f} us  {bd.size*2/t/1e9:6.0f} GB/s  "
-          f"{2*m*n*k/t/1e12:5.2f} TF/s", flush=True)
+    if args.sweep:
+        for blocks in [(16, 512, 512), (16, 1024, 512), (16, 2048, 512),
+                       (16, 512, 1024), (16, 1024, 1024), (16, 2048, 1024),
+                       (16, 4096, 1024), (16, 1024, 2048), (16, 2048, 2048),
+                       (16, 512, 4096), (16, 1024, 4096), (16, 4096, 2048),
+                       (16, 8192, 512), (16, 8192, 1024)]:
+            s2 = SolutionId(*blocks)
+            if k % s2.block_k or n % s2.block_n:
+                continue
 
-    for blocks in [(16, 512, 512), (16, 1024, 512), (16, 2048, 512),
-                   (16, 1024, 1024), (16, 2048, 1024), (16, 4096, 512),
-                   (16, 2048, 2048)]:
-        sid = SolutionId(*blocks)
-        if k % sid.block_k or n % sid.block_n:
-            continue
+            def mkcall(s2=s2):
+                def call(a2, w, st_, gs_):
+                    return fused.fused_mul(a2, w, st_, gs_[0, 0], sid=s2)
+                return call
+            try:
+                t = marginal_time(loop_of(mkcall(), a, words, st, gs),
+                                  args.n1, args.n2)
+                print(f"full {str(blocks):18s}: {t * 1e6:9.1f} us  "
+                      f"{wbytes / t / 1e9:7.1f} GB/s", flush=True)
+            except Exception as e:
+                print(f"full {blocks}: FAIL {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+        return
+
+    for stage in args.stages.split(","):
         try:
-            t = timed(loop_fused(sid, iters, m, n, k), a, words, st,
-                      iters=iters)
+            if stage == "dotonly":
+                mk = loop_of(dotonly_call(sid, m, n, k), a, bd, gs)
+                bytes_ = bd.size * 2
+            else:
+                mk = loop_of(variant_call(stage, sid, m, n, k), a, words,
+                             st, gs)
+                bytes_ = wbytes
+            t = marginal_time(mk, args.n1, args.n2)
+            print(f"{stage:8s}: {t * 1e6:9.1f} us  {bytes_ / t / 1e9:7.1f} GB/s"
+                  f"  {2 * m * n * k / t / 1e12:6.2f} TF/s(equiv)", flush=True)
         except Exception as e:
-            print(f"fused {blocks}: FAIL {type(e).__name__} {str(e)[:160]}",
+            print(f"{stage:8s}: FAIL {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
-            continue
-        print(f"fused {str(blocks):18s}: {t*1e6:8.1f} us  "
-              f"{wbytes/t/1e9:6.0f} GB/s  {2*m*n*k/t/1e12:5.2f} TF/s",
-              flush=True)
 
 
 if __name__ == "__main__":
