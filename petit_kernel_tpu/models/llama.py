@@ -94,9 +94,15 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
     m = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(m, k)
     n = layer["words"].shape[1]
-    mul = gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4" else gemm_mod.mul_mxfp4_a16
-    y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n, k,
-            -1, interpret=interpret)
+    if interpret:
+        mul = (gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4"
+               else gemm_mod.mul_mxfp4_a16)
+        y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n, k,
+                -1, interpret=True)
+    else:
+        # differentiable path (custom VJP): grads flow to activations
+        y = gemm_mod.mul_fp4_diff(fmt, k, x2, layer["words"],
+                                  layer["scales"], layer["gs"])
     return y.reshape(*lead, n)
 
 

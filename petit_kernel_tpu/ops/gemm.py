@@ -9,6 +9,7 @@ Pallas kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Union
 
 import jax
@@ -140,6 +141,46 @@ def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
     gemm_fp4_fp16_grid.cc:79-95)."""
     return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
                 ElementB.MXFP4, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (custom VJP): lets gradients flow through the fused
+# kernel for LoRA-style finetuning / the multichip train dry run. Forward is
+# the fused Pallas kernel; backward dequantizes B once (standalone dequant
+# kernel) and runs a dense MXU GEMM for dA. Quantized operands get float0
+# cotangents (frozen); global_scale gets a real gradient.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def mul_fp4_diff(fmt: str, size_k: int, a, b, s, gs):
+    m, n = a.shape[0], b.shape[1]
+    mul = mul_nvfp4_a16 if fmt == "nvfp4" else mul_mxfp4_a16
+    return mul(a, b, s, gs, m, n, size_k, -1)
+
+
+def _mul_fp4_fwd(fmt, size_k, a, b, s, gs):
+    y = mul_fp4_diff(fmt, size_k, a, b, s, gs)
+    return y, (a, b, s, gs, y)
+
+
+def _mul_fp4_bwd(fmt, size_k, res, g):
+    from .kernels import fused as fused_mod
+    a, b, s, gs, y = res
+    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
+    deq = fused_mod.dequant_tpu_layout(b, s, element_b=eb)   # (kp, n) bf16
+    w = deq[:size_k] * jnp.asarray(gs, jnp.float32).astype(jnp.bfloat16)
+    da = jnp.dot(g.astype(jnp.bfloat16), w.T,
+                 preferred_element_type=jnp.float32).astype(a.dtype)
+    gsf = jnp.asarray(gs, jnp.float32)
+    dgs = jnp.where(gsf != 0,
+                    jnp.sum(g.astype(jnp.float32) * y.astype(jnp.float32))
+                    / gsf, 0.0).reshape(jnp.shape(gs))
+    f0 = jax.dtypes.float0
+    return (da, np.zeros(b.shape, f0), np.zeros(s.shape, f0),
+            dgs.astype(jnp.float32) if jnp.asarray(gs).dtype != f0 else None)
+
+
+mul_fp4_diff.defvjp(_mul_fp4_fwd, _mul_fp4_bwd)
 
 
 def get_fp4_solutions(size_m: int, size_n: int, size_k: int,

@@ -47,17 +47,32 @@ _ONE_BITS = np.uint32(0x3F803F80)   # +1.0 in both bf16 halves
 def decode_quarter(words: jax.Array, j: int) -> jax.Array:
     """Decode quarter j of packed words (R, C) u32 -> (2R, C) bf16 values
     (unscaled). Row 2r = slot j (low half), row 2r+1 = slot j+4 (high half),
-    i.e. consecutive k by the layout contract (ops/layout.py)."""
+    i.e. consecutive k by the layout contract (ops/layout.py).
+
+    Pure-integer SWAR construction of the bf16 bit patterns (exhaustively
+    validated against the E2M1 table): on this VPU, bf16 elementwise float
+    ops get widened and cost ~3x an int32 op, so the e==0 subnormal codes
+    are folded in with an integer mask blend instead of float min() — the
+    measured difference is 1.6x kernel throughput.
+
+      magnitudes:  nrm  = (mag << 6) + 0x3F00 per half   (exact for mag>=2)
+      e==0 codes:  sub  = m * 0x3F00 (0.0 / 0.5); select via a SWAR mask
+                   built from (mag>=2) x 0xFFFF (no cross-half carry)
+      sign:        OR'd into bit 15/31
+    """
     if j:
         mag = (words >> np.uint32(4 * j)) & _MAG_MASK
+        sgn = (words << np.uint32(12 - 4 * j)) & _SGN_MASK
     else:
         mag = words & _MAG_MASK
-    sgn = (words << np.uint32(12 - 4 * j)) & _SGN_MASK
+        sgn = (words << np.uint32(12)) & _SGN_MASK
     nrm = (mag << np.uint32(6)) + _NRM_BIAS
-    y = pltpu.bitcast(nrm, jnp.bfloat16)                    # (2R, C), > 0
-    t = jnp.minimum(jnp.bfloat16(2) * y - jnp.bfloat16(1), y)
-    sf = pltpu.bitcast(sgn | _ONE_BITS, jnp.bfloat16)       # +-1.0
-    return t * sf
+    ge2 = ((mag >> np.uint32(1)) | (mag >> np.uint32(2))) \
+        & np.uint32(0x00010001)
+    msk = ge2 * np.uint32(0xFFFF)
+    sub = (mag & np.uint32(0x00010001)) * np.uint32(0x3F00)
+    bits = (sub ^ ((nrm ^ sub) & msk)) | sgn
+    return pltpu.bitcast(bits, jnp.bfloat16)
 
 
 def decode_scales_e4m3(s_u8: jax.Array) -> jax.Array:
@@ -78,25 +93,35 @@ def decode_scales_e8m0(s_u8: jax.Array) -> jax.Array:
     return pltpu.bitcast(s_u8.astype(jnp.int32) << 23, jnp.float32)
 
 
-def _expand_scales(sc_f32: jax.Array, rows_per_group: int,
-                   out_dtype=jnp.bfloat16) -> jax.Array:
-    """Broadcast (G, C) scales to (G*rows_per_group, C) via a tiny one-hot
-    matmul. A sublane reshape-broadcast costs Mosaic relayout shuffles on
-    the VPU (measured ~40% of kernel time); the MXU does the expansion for
-    free in the dot pipeline. Exact: one-hot selection in f32."""
-    g, c = sc_f32.shape
-    r = g * rows_per_group
-    row = jax.lax.broadcasted_iota(jnp.int32, (r, g), 0) // rows_per_group
-    col = jax.lax.broadcasted_iota(jnp.int32, (r, g), 1)
-    expand = (row == col).astype(jnp.bfloat16)
-    return jnp.dot(expand, sc_f32.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32).astype(out_dtype)
+def _chunk_scale_slab(sc: jax.Array, chunk: int, group: int) -> jax.Array:
+    """(srows, C) step-quarter scales -> the (128, C) broadcast slab for one
+    128-row chunk.
+
+    Thanks to the pi-interleave in the weight layout (ops/layout.py), chunk
+    rows cycle through their 8/gpc scale groups with period 8, so the
+    broadcast is a pltpu.repeat tile copy — no sublane element-broadcast
+    relayout, no one-hot expand matmul, no big f32->bf16 cast (those cost
+    ~35% of kernel time in earlier designs)."""
+    gpc = 128 // group              # scale groups per 128-row chunk
+    slab = sc[chunk * gpc:(chunk + 1) * gpc]
+    if gpc < 8:                     # MXFP4: pattern is [g0 g0 g1 g1 ...]
+        slab = jnp.repeat(slab, 8 // gpc, axis=0)  # tiny array
+    return pltpu.repeat(slab, 16, axis=0)          # (128, C)
 
 
 def _apply_scales(deq: jax.Array, sc_f32: jax.Array, rows_per_group: int,
                   out_dtype=jnp.bfloat16) -> jax.Array:
-    """Multiply (G*rows_per_group, C) bf16 values by (G, C) scales."""
-    return deq * _expand_scales(sc_f32, rows_per_group, out_dtype)
+    """Multiply pi-interleaved (R, C) decoded values by their scales
+    ((R/group, C), R % 128 == 0). Used by the standalone dequant kernel;
+    the fused kernel fuses this per chunk into its dot loop."""
+    r, c = deq.shape
+    sc = sc_f32.astype(out_dtype)
+    group = rows_per_group
+    parts = []
+    for ch in range(r // 128):
+        sb = _chunk_scale_slab(sc, ch, group)
+        parts.append(deq[ch * 128:(ch + 1) * 128] * sb)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
@@ -114,24 +139,31 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
         # scales stay fully k-resident in VMEM (tiny: k/group rows); slice
-        # this quarter+step's rows. Mosaic's (8,128)-divisibility rule would
-        # otherwise forbid small per-step scale blocks (e.g. MXFP4 bk=512
-        # -> 4 rows).
+        # this quarter+step's rows (8-aligned dynamic sublane slice).
         sc = decode_scales(s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+        dt = jnp.float32 if high_precision else jnp.bfloat16
+        sc = sc.astype(dt)
+        a = a_refs[j][:]
         if high_precision:
             # True-f32 MXU path: without precision=HIGHEST, TPU matmuls
             # (and the Pallas interpreter emulating them) round f32 inputs
             # to bf16. This is the analog of the reference's high-precision
             # mode (dequant.cuh:241-254), at the usual multi-pass cost.
-            b = _apply_scales(deq.astype(jnp.float32), sc, group,
-                              out_dtype=jnp.float32)
-            a = a_refs[j][:].astype(jnp.float32)
-            acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
-        else:
-            b = _apply_scales(deq, sc, group)
-            a = a_refs[j][:]
-            acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+            a = a.astype(jnp.float32)
+            deq = deq.astype(jnp.float32)
+        # one 128-deep MXU dot per chunk; the chunk's scale slab is a tile
+        # copy by construction (pi-interleaved layout)
+        for ch in range(deq.shape[0] // 128):
+            b = (deq[ch * 128:(ch + 1) * 128]
+                 * _chunk_scale_slab(sc, ch, group))
+            a_ch = a[:, ch * 128:(ch + 1) * 128]
+            if high_precision:
+                acc_ref[:] += jnp.dot(a_ch, b,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+            else:
+                acc_ref[:] += jnp.dot(a_ch, b,
+                                      preferred_element_type=jnp.float32)
 
     @pl.when(kk == nk - 1)
     def _epilogue():
@@ -174,6 +206,9 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         # they contribute exactly 0 regardless of A's padded values (which
         # are also zeros here).
         a = jnp.pad(a, ((0, m_pad - m), (0, kp - k)))
+    # match the layout's pi-interleave of k within each 128-chunk (one XLA
+    # transpose, usually fused into A's producer)
+    a = a.reshape(m_pad, kp // 128, 8, 16).swapaxes(2, 3).reshape(m_pad, kp)
     if n_pad != n:
         words = jnp.pad(words, ((0, 0), (0, n_pad - n)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, n_pad - n)))
@@ -276,5 +311,8 @@ def dequant_tpu_layout(words: jax.Array, scales_t: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((4, k // 4, n), jnp.bfloat16),
         interpret=interpret,
     )(words, scales_t)
-    # (4, k/4, n): quarter j holds k-range [j*k/4, (j+1)*k/4) -> natural k.
+    # (4, k/4, n): quarter j holds k-range [j*k/4, (j+1)*k/4); un-permute
+    # the pi-interleave within each 128-row chunk (natural[pi(i)] = row[i],
+    # pi its own (16,8)/(8,16)-transpose inverse).
+    out = out.reshape(4, k // 4 // 128, 16, 8, n).swapaxes(2, 3)
     return out.reshape(k, n)

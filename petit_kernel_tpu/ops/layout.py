@@ -10,17 +10,30 @@ with the Pallas kernel's SWAR decode and the MXU instead:
     Word W[r, c] holds 8 E2M1 nibbles of column n=c.  Slot s (bits 4s..4s+3),
     with j = s & 3 and h = s >> 2, holds the nibble for
 
-        k = j*(K/4) + 2*r + h.
+        k = j*(K/4) + chunk*128 + pi(i),     where
+        chunk = r // 64,  i = 2*(r % 64) + h,
+        pi(i) = (i % 8) * 16 + (i // 8)      (the (8,16)-transpose).
 
-    Why: the kernel extracts pair j via  x = (W >> 4j) & 0x000F000F  which
-    leaves slot j in bits[3:0] (-> low bf16 half) and slot j+4 in bits[19:16]
-    (-> high bf16 half).  After the SWAR fp4->bf16 decode,
-    pltpu.bitcast(x, bfloat16) turns (R, C) u32 into (2R, C) bf16 with row
-    2r = low half, row 2r+1 = high half.  With the slot map above, extract j
-    of word rows [r0, r0+R) therefore decodes to the *contiguous* k-slab
-    [j*K/4 + 2*r0, j*K/4 + 2*r0 + 2*R) in natural k order — no in-kernel
-    shuffles, no A/C permutations; the kernel just reads four contiguous A
-    k-slices (one per quarter) and issues four MXU dots.
+    Two design moves are encoded here:
+
+    1. Pairing (slots j / j+4 -> one 32-bit lane): the kernel extracts pair
+       j via  x = (W >> 4j) & 0x000F000F, leaving slot j in bits[3:0] (->
+       low bf16 half) and slot j+4 in bits[19:16] (-> high half).  After the
+       SWAR fp4->bf16 decode, pltpu.bitcast turns (R, C) u32 into (2R, C)
+       bf16 with row 2r = low half, 2r+1 = high half — extract j of word
+       rows [r0, r0+R) decodes the k-quarter slab [j*K/4 + ...] with zero
+       in-kernel shuffles; the kernel reads four A k-slices and issues four
+       MXU dots.
+
+    2. Group interleave pi within each 128-row chunk: decoded row i of a
+       chunk carries k = chunk*128 + (i%8)*16 + i//8, so the 8 NVFP4 scale
+       groups of the chunk cycle with period 8 down the rows.  The in-kernel
+       scale broadcast then is a pltpu.repeat (tile copy) of an (8, C) slab
+       instead of a sublane element-broadcast (Mosaic relayout) or a one-hot
+       expand matmul + f32->bf16 cast (measured ~35% of kernel time).  The
+       matching k-permutation is applied to A by the GEMM wrapper (one fused
+       XLA transpose: a.reshape(m, K/128, 8, 16).swapaxes(-1, -2)); k-order
+       inside a dot contraction is free as long as A and B agree.
 
   Scales S: uint8, shape (K/group, N) — the checkpoint scales transposed to
     k-major (group=16 E4M3 bytes for NVFP4, group=32 E8M0 bytes for MXFP4).
@@ -115,12 +128,19 @@ def repack_fp4_weights(qweights, size_n: int, size_k: int, *,
     nib_t = nib.T.astype(np.uint32)              # (k, n)
     k, n = size_k, size_n
     words = np.zeros((k // 8, n), dtype=np.uint32)
+    r = np.arange(k // 8)
     for s in range(8):
         j, h = s & 3, s >> 2
-        # slot s of word row r holds k = j*k/4 + 2r + h, r in [0, k/8)
-        rows = nib_t[j * (k // 4) + h: j * (k // 4) + h + k // 4: 2]
-        words |= rows << (4 * s)
+        ks = _slot_k(r, j, h, k)
+        words |= nib_t[ks] << (4 * s)
     return words
+
+
+def _slot_k(r: np.ndarray, j: int, h: int, k: int) -> np.ndarray:
+    """k index held by slot (j + 4h) of word row r (module-doc layout)."""
+    chunk = r // 64
+    i = 2 * (r % 64) + h
+    return j * (k // 4) + chunk * 128 + (i % 8) * 16 + i // 8
 
 
 def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarray:
@@ -131,10 +151,11 @@ def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarra
     k = words.shape[0] * 8  # padded k
     assert words.shape == (k // 8, n) and k >= size_k
     nib_t = np.zeros((k, n), dtype=np.uint8)
+    r = np.arange(k // 8)
     for s in range(8):
         j, h = s & 3, s >> 2
         rows = ((words >> (4 * s)) & 0xF).astype(np.uint8)
-        nib_t[j * (k // 4) + h: j * (k // 4) + h + k // 4: 2] = rows
+        nib_t[_slot_k(r, j, h, k)] = rows
     return nib_t[:size_k].T
 
 

@@ -7,10 +7,11 @@
 // transform (a 70B checkpoint is ~35 GB of packed nibbles; numpy does this
 // at ~1 GB/s, this core runs at memory speed).
 //
-// Layout contract (must match ops/layout.py exactly, see its module doc):
-//   out word (r, c), slot s = j + 4h (bits 4s..4s+3) holds the E2M1 nibble
-//   of column n=c at k = j*(K/4) + 2r + h. Negative-zero nibbles (0x8) are
-//   masked to +0.
+// Layout contract (must match ops/layout.py _slot_k exactly, see its module
+// doc): out word (r, c), slot s = j + 4h (bits 4s..4s+3) holds the E2M1
+// nibble of column n=c at
+//   k = j*(K/4) + (r/64)*128 + pi(2*(r%64) + h),  pi(i) = (i%8)*16 + i/8.
+// Negative-zero nibbles (0x8) are masked to +0.
 //
 // Exposed as a plain C ABI for ctypes.
 
@@ -42,7 +43,9 @@ void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
         uint32_t w = 0;
         for (int s = 0; s < 8; ++s) {
           const int j = s & 3, h = s >> 2;
-          const int64_t kk = static_cast<int64_t>(j) * kq + 2 * r + h;
+          const int64_t i = 2 * (r % 64) + h;
+          const int64_t kk = static_cast<int64_t>(j) * kq + (r / 64) * 128 +
+                             (i % 8) * 16 + i / 8;
           w |= static_cast<uint32_t>(nib_at(row, kk)) << (4 * s);
         }
         out_row[c] = w;

@@ -63,6 +63,54 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
         w = pltpu.bitcast(w_ref[:], jnp.int32)
         acc_ref[0:1, :] += jnp.sum(w, axis=0, keepdims=True,
                                    dtype=jnp.int32).astype(jnp.float32)
+    elif stage == "bitonly":
+        # pipeline + 4 dots + one u32->bf16 bitcast; no int decode at all
+        b = pltpu.bitcast(w_ref[:], jnp.bfloat16)
+        for j in range(4):
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
+    elif stage == "rawdot":
+        # + per-quarter extract and magnitude positioning, no fix/sign/scale
+        for j in range(4):
+            x = (w_ref[:] >> np.uint32(4 * j)) & np.uint32(0x000F000F)
+            nrm = ((x & np.uint32(0x00070007)) << np.uint32(6)) + np.uint32(
+                0x3F003F00)
+            b = pltpu.bitcast(nrm, jnp.bfloat16)
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
+    elif stage in ("intfix", "bf16fix", "fullint"):
+        for j in range(4):
+            x = (w_ref[:] >> np.uint32(4 * j)) & np.uint32(0x000F000F)
+            mag = x & np.uint32(0x00070007)
+            nrm = (mag << np.uint32(6)) + np.uint32(0x3F003F00)
+            if stage == "bf16fix":
+                y = pltpu.bitcast(nrm, jnp.bfloat16)
+                t = jnp.minimum(jnp.bfloat16(2) * y - jnp.bfloat16(1), y)
+                sf = pltpu.bitcast(((x << np.uint32(12))
+                                    & np.uint32(0x80008000))
+                                   | np.uint32(0x3F803F80), jnp.bfloat16)
+                b = t * sf
+            else:
+                ge2 = ((mag >> np.uint32(1)) | (mag >> np.uint32(2))) \
+                    & np.uint32(0x00010001)
+                msk = ge2 * np.uint32(0xFFFF)
+                sub = (mag & np.uint32(0x00010001)) * np.uint32(0x3F00)
+                bits = sub ^ ((nrm ^ sub) & msk)
+                bits = bits | ((x << np.uint32(12)) & np.uint32(0x80008000))
+                b = pltpu.bitcast(bits, jnp.bfloat16)
+            if stage == "fullint":
+                sc = fused.decode_scales_e4m3(
+                    s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+                g2, c2 = sc.shape
+                r2 = g2 * group
+                row = jax.lax.broadcasted_iota(jnp.int32, (r2, g2), 0) // group
+                col = jax.lax.broadcasted_iota(jnp.int32, (r2, g2), 1)
+                sb = jnp.dot((row == col).astype(jnp.float32), sc,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16)
+                b = b * sb
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
     else:
         for j in range(4):
             deq = fused.decode_quarter(w_ref[:], j)
