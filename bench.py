@@ -5,6 +5,14 @@ TPU analog of the reference's bench_matmul + matmul.py sweep
 (tools/benchmarks/matmul/main.cc:269-325, tools/benchmarks/matmul.py:92-127):
 the dense baseline (hipBLASLt there) is XLA's native bf16 jnp.dot here.
 
+Timing uses the hardened marginal-cost protocol
+(petit_kernel_tpu/utils/benchlib.py): on the axon relay,
+jax.block_until_ready does not reliably wait, per-program latency is ~29 ms
+with +-7 ms jitter, and repeated identical executions can be served stale —
+so each kernel runs inside a jitted fori_loop with chained salted
+iterations, the scalar result is read back to host, and the marginal cost
+between two loop lengths (min-floor over reps) is reported.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where value = geomean TFLOP/s of the fused kernel over the decode suite and
@@ -15,7 +23,7 @@ dense, the reference's headline is 1.2-2.2x at small batch).
 import argparse
 import json
 import math
-import time
+import os
 
 import numpy as np
 
@@ -23,15 +31,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_fn(fn, *args, warmup=3, repeat=10):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(repeat):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeat
+def marginal_time(call, *args, **kw):
+    from petit_kernel_tpu.utils import benchlib
+    return benchlib.marginal_time(call, *args, debug=DEBUG, **kw)
+
+
+DEBUG = os.environ.get("BENCH_DEBUG", "") != ""
 
 
 # Reference active bench suite: m in {16, 256, 512} x Llama-70B (n, k) pairs
@@ -48,10 +53,12 @@ SHAPES_NK = [
 SHAPES_NK_QUICK = [(10240, 8192), (8192, 8192), (8192, 28672)]
 
 
-def run(ms, shapes, repeat, tune):
+def run(ms, shapes, tune, n1, n2):
     import petit_kernel_tpu as pk
     from petit_kernel_tpu.numerics import reference as ref
     from petit_kernel_tpu.ops import autotune
+
+    autotune.load_table()  # persisted per-device-kind table, if present
 
     results = []
     for (n, k) in shapes:
@@ -70,19 +77,25 @@ def run(ms, shapes, repeat, tune):
             a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
             if tune:
-                sid = autotune.tune_shape(m, n, k)
+                sid_obj = autotune.tune_shape(m, n, k)
+                sid = sid_obj.repr()
             else:
                 sid = -1
 
-            def fp4_fn(a, b, s):
-                return pk.mul_nvfp4_a16(a, b, s, gs, m, n, k,
-                                        sid if isinstance(sid, int) else sid.repr())
+            def fp4_call(a2, b2, s2):
+                return pk.mul_nvfp4_a16(a2, b2, s2, gs, m, n, k, sid)
 
-            dense = jax.jit(lambda a, bd: jnp.dot(
-                a, bd, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+            def dense_call(a2, bd):
+                return jnp.dot(a2, bd,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
 
-            t_fp4 = _time_fn(jax.jit(fp4_fn), a, b, s, repeat=repeat)
-            t_dense = _time_fn(dense, a, b_dense, repeat=repeat)
+            fp4_bytes = n * k / 2 + n * k / 16 + m * k * 2
+            dense_bytes = k * n * 2 + m * k * 2
+            t_fp4 = marginal_time(fp4_call, a, b, s, n1=n1, n2=n2,
+                                  bytes_hint=fp4_bytes)
+            t_dense = marginal_time(dense_call, a, b_dense, n1=n1, n2=n2,
+                                    bytes_hint=dense_bytes)
             tflops = 2 * m * n * k / t_fp4 / 1e12
             results.append(dict(m=m, n=n, k=k, t_fp4=t_fp4, t_dense=t_dense,
                                 tflops=tflops, speedup=t_dense / t_fp4))
@@ -93,19 +106,22 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--full", action="store_true", help="full shape sweep")
     p.add_argument("--tune", action="store_true", help="autotune each shape")
-    p.add_argument("--repeat", type=int, default=10)
+    p.add_argument("--n1", type=int, default=20)
+    p.add_argument("--n2", type=int, default=None)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
     shapes = SHAPES_NK if args.full else SHAPES_NK_QUICK
     ms = (16, 256, 512) if args.full else (16,)
-    results = run(ms, shapes, args.repeat, args.tune)
+    results = run(ms, shapes, args.tune, args.n1, args.n2)
 
     if args.verbose:
         for r in results:
+            wgb = (r["n"] * r["k"] / 2 + r["n"] * r["k"] / 16) / 1e9
             print(f"# m={r['m']:4d} n={r['n']:6d} k={r['k']:6d} "
                   f"fp4={r['t_fp4'] * 1e6:9.1f}us dense={r['t_dense'] * 1e6:9.1f}us "
-                  f"{r['tflops']:7.2f} TFLOP/s speedup={r['speedup']:.3f}")
+                  f"{r['tflops']:7.2f} TFLOP/s "
+                  f"{wgb / r['t_fp4']:6.1f} GB/s speedup={r['speedup']:.3f}")
 
     decode = [r for r in results if r["m"] == 16] or results
     geo_tflops = math.exp(sum(math.log(r["tflops"]) for r in decode) / len(decode))

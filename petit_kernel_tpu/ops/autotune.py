@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import time
 from typing import Iterable, Sequence
 
 import jax
@@ -62,23 +61,22 @@ def candidate_solutions(m: int, n: int, k: int,
     return sols[:max_candidates]
 
 
-def time_solution(sid: SolutionId, a, b, s, gs, *, warmup=2, repeat=8) -> float:
-    fn = jax.jit(lambda a, b, s: fused.fused_mul(
-        a, b, s, gs, sid=sid,
-        out_dtype=jnp.float32 if sid.high_precision else jnp.bfloat16))
+def time_solution(sid: SolutionId, a, b, s, gs, *, n1=10, reps=3) -> float:
+    """Honest per-call time of one solution (marginal-cost protocol — naive
+    dispatch timing is unusable over the axon relay, see utils/benchlib)."""
+    from ..utils import benchlib
+
+    def call(a2, b2, s2):
+        return fused.fused_mul(
+            a2, b2, s2, gs, sid=sid,
+            out_dtype=jnp.float32 if sid.high_precision else jnp.bfloat16)
+
+    bytes_hint = b.size * 4 + s.size + a.size * 2
     try:
-        out = fn(a, b, s)
-        jax.block_until_ready(out)
+        return benchlib.marginal_time(call, a, b, s, n1=n1, reps=reps,
+                                      bytes_hint=bytes_hint)
     except Exception:
         return math.inf
-    for _ in range(warmup):
-        out = fn(a, b, s)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(repeat):
-        out = fn(a, b, s)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeat
 
 
 def tune_shape(m: int, n: int, k: int,

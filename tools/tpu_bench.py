@@ -27,23 +27,32 @@ from petit_kernel_tpu.ops.kernels import fused
 from petit_kernel_tpu.ops.solution import SolutionId, ElementB
 
 
-def marginal_time(make_loop, n1=50, n2=350, reps=3):
-    """Median marginal per-iteration time between two loop lengths; robust
-    to the relay's large fixed + variable per-program latency."""
+_SALT = [0]
+
+
+def marginal_time(make_loop, n1=50, n2=350, reps=4):
+    """Min-floor marginal per-iteration time between two loop lengths; robust
+    to the relay's large fixed + variable per-program latency.
+
+    Every call gets a fresh salt and reads its scalar result back to host
+    (jax.block_until_ready does NOT reliably wait on the axon platform —
+    only a device->host value read forces completion; see
+    petit_kernel_tpu/utils/benchlib.py). The first post-compile call is
+    discarded (it returns anomalously fast)."""
     f1, f2 = make_loop(n1), make_loop(n2)
-    jax.block_until_ready(f1())  # compile
-    jax.block_until_ready(f2())
-    deltas = []
-    for _ in range(reps):
+
+    def run(f):
+        _SALT[0] += 1
         t0 = time.perf_counter()
-        jax.block_until_ready(f1())
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(f2())
-        tb = time.perf_counter() - t0
-        deltas.append((tb - ta) / (n2 - n1))
-    deltas.sort()
-    return deltas[len(deltas) // 2]
+        float(f(jnp.float32(_SALT[0])))  # value read forces completion
+        return time.perf_counter() - t0
+
+    run(f1)  # compile + warm
+    run(f2)
+    run(f1)  # discard first timed-shape call
+    tas = [run(f1) for _ in range(reps)]
+    tbs = [run(f2) for _ in range(reps)]
+    return max((min(tbs) - min(tas)) / (n2 - n1), 1e-9)
 
 
 # --------------------------------------------------------------------------
@@ -244,10 +253,10 @@ def main():
     def loop_of(call, *call_args):
         def make(iters):
             @jax.jit
-            def run():
+            def run(salt):
                 def body(i, acc):
                     a2 = call_args[0].at[0, 0].add(
-                        (i % 7).astype(call_args[0].dtype))
+                        (salt + (i % 7)).astype(call_args[0].dtype))
                     c = call(a2, *call_args[1:])
                     return acc + c[0, 0].astype(jnp.float32)
                 return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
