@@ -97,11 +97,14 @@ def tune_shape(m: int, n: int, k: int,
         nib = (bn >> shift) & 0xF
         bn = np.where(nib == 8, bn & ~np.uint32(0xF << shift), bn)
     b = jnp.asarray(bn)
-    s = jnp.asarray(
-        ((rng.integers(4, 11, size=(k // group, n), dtype=np.uint8) << 3)
-         | rng.integers(0, 8, size=(k // group, n), dtype=np.uint8))
-        if element_b == ElementB.NVFP4 else
-        rng.integers(110, 140, size=(k // group, n), dtype=np.uint8))
+    from ..numerics import formats as _formats
+    s_raw = (((rng.integers(4, 11, size=(k // group, n), dtype=np.uint8) << 3)
+              | rng.integers(0, 8, size=(k // group, n), dtype=np.uint8))
+             if element_b == ElementB.NVFP4 else
+             rng.integers(110, 140, size=(k // group, n), dtype=np.uint8))
+    dec = (_formats.e4m3_decode(s_raw) if element_b == ElementB.NVFP4
+           else _formats.e8m0_decode(s_raw))
+    s = jnp.asarray(dec, jnp.bfloat16)
     gs = jnp.float32(1.0)
 
     best, best_t = None, math.inf

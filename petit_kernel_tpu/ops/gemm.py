@@ -86,8 +86,10 @@ def _validate_and_prepare(a, b, s, m, n, k, group: int):
         raise ValueError(
             f"b must be repack output (k_padded/8, n) = {(kp // 8, n)}, "
             f"got {b.shape}")
-    if s.dtype != jnp.uint8:
-        raise ValueError(f"s must be uint8 processed scales, got {s.dtype}")
+    if s.dtype != jnp.bfloat16:
+        raise ValueError(
+            f"s must be bfloat16 processed scales (process_*_scales "
+            f"output), got {s.dtype}")
     if s.shape != (kp // group, n):
         raise ValueError(
             f"s must be processed scales (k_padded/{group}, n) = "

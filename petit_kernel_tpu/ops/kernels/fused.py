@@ -8,21 +8,31 @@ buffered by the Pallas pipeline), a SWAR decode turns each u32 of 8 E2M1
 nibbles into bf16 pairs on the VPU, and 128x128 MXU dots consume the
 dequantized slabs with an f32 accumulator.
 
-Decode math (per 32-bit lane, two nibbles at bits [3:0] and [19:16]):
-    mag  = x & 0x00070007
-    nrm  = (mag << 6) + 0x3F003F00      # bf16 bits of 2^(e-1)*(1+m/2), e>=1
-    y    = bitcast<bf16>(nrm)           # y in {0.5, 0.75} U [1, 6]
-    t    = min(2y - 1, y)               # fixes the two e==0 codes: 0, 0.5
-    sf   = bitcast<bf16>(((x<<12) & 0x80008000) | 0x3F803F80)   # +-1.0
-    val  = t * sf
-This is the TPU equivalent of the reference's branch-free Fp4ToFp16 mask
-trick (quantization/dequant.cuh:113-125): all magnitudes decode with one
-shared arithmetic path, the e==0 subnormal codes are folded in by the
-min() identity (2y-1 < y iff y < 1), and products scale-x-value are exact
-in bf16 (4-bit x 2-bit significands).
+Decode math (v4 q-coded layout, per 32-bit lane, two q-nibbles at bits
+[3:0] and [19:16]; see ops/layout.py for the offline code remap):
 
-No "E5M3 x 2^7" scale re-bias is needed (dequant.cuh:20-22 works around GPU
-denormal flushing): scales decode to f32 exactly in-kernel.
+    magq = ((w << 6) >> 4j) & 0x01C001C0     # q<<6 per bf16 half
+    sgn  = ((w << 12) >> 4j) & 0x80008000
+    nz   = (((magq ^ 0x40) + 0x1C0) >> 9) & 0x10001   # 0 iff q==1 (zero)
+    bits = ((magq + 0x3F003F00) | sgn) & (nz * 0xFFFF)
+
+Why this works: E2M1's seven nonzero magnitudes are consecutive points of
+bf16's exponent/mantissa ramp, 0x3F00 + q*0x40 for q in {0,2..7} — one add
+covers them all, including 0.5 (which the previous kernel fixed with a
+9-op SWAR blend). Only the stored zero (q=1, squatting the 0.75 hole in
+the ramp) needs masking, via a 3-op carry test. This is the TPU analog of
+the reference's branch-free Fp4ToFp16 bit trick plus PetitFormat
+prepositioning (quantization/dequant.cuh:113-125,
+quantization_utils.cu:183-206). Products value x scale are exact in bf16
+(2-bit x 3-bit significands).
+
+Scales arrive as bf16 decoded offline (process_*_scales): no in-kernel
+scale decode at all. No "E5M3 x 2^7" re-bias is needed either
+(dequant.cuh:20-22 works around GPU denormal flushing) — though the TPU
+VPU also flushes bf16 subnormals in multiplies (measured; the analog of
+the gfx90a flush), which is exactly why the decode uses the biased ramp +
+zero mask rather than the tempting bias-free q<<6 = value x 2^-126
+embedding (it would put 0.5 on a flushed subnormal).
 """
 
 from __future__ import annotations
@@ -37,47 +47,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..solution import SolutionId, ElementB
 
-_PAIR_MASK = np.uint32(0x000F000F)
-_MAG_MASK = np.uint32(0x00070007)
+_MAGQ_MASK = np.uint32(0x01C001C0)  # q<<6 per half
 _SGN_MASK = np.uint32(0x80008000)
 _NRM_BIAS = np.uint32(0x3F003F00)   # (126 << 7) in both bf16 halves
-_ONE_BITS = np.uint32(0x3F803F80)   # +1.0 in both bf16 halves
 
 
 def decode_quarter(words: jax.Array, j: int) -> jax.Array:
-    """Decode quarter j of packed words (R, C) u32 -> (2R, C) bf16 values
-    (unscaled). Row 2r = slot j (low half), row 2r+1 = slot j+4 (high half),
-    i.e. consecutive k by the layout contract (ops/layout.py).
+    """Decode quarter j of q-coded packed words (R, C) u32 -> (2R, C) bf16
+    values (unscaled). Row 2r = slot j (low half), row 2r+1 = slot j+4 (high
+    half), i.e. consecutive k by the layout contract (ops/layout.py).
 
-    Pure-integer SWAR construction of the bf16 bit patterns (exhaustively
-    validated against the E2M1 table): on this VPU, bf16 elementwise float
-    ops get widened and cost ~3x an int32 op, so the e==0 subnormal codes
-    are folded in with an integer mask blend instead of float min() — the
-    measured difference is 1.6x kernel throughput.
-
-      magnitudes:  nrm  = (mag << 6) + 0x3F00 per half   (exact for mag>=2)
-      e==0 codes:  sub  = m * 0x3F00 (0.0 / 0.5); select via a SWAR mask
-                   built from (mag>=2) x 0xFFFF (no cross-half carry)
-      sign:        OR'd into bit 15/31
+    Pure-integer SWAR, ~12 vector ops (exhaustively validated against the
+    E2M1 table; see module doc for the algebra). Quarter extraction right-
+    shifts FIRST: left-shifting the whole word would push the high slot's
+    bits past bit 31 for j >= 1.
     """
-    if j:
-        mag = (words >> np.uint32(4 * j)) & _MAG_MASK
-        sgn = (words << np.uint32(12 - 4 * j)) & _SGN_MASK
-    else:
-        mag = words & _MAG_MASK
-        sgn = (words << np.uint32(12)) & _SGN_MASK
-    nrm = (mag << np.uint32(6)) + _NRM_BIAS
-    ge2 = ((mag >> np.uint32(1)) | (mag >> np.uint32(2))) \
-        & np.uint32(0x00010001)
-    msk = ge2 * np.uint32(0xFFFF)
-    sub = (mag & np.uint32(0x00010001)) * np.uint32(0x3F00)
-    bits = (sub ^ ((nrm ^ sub) & msk)) | sgn
+    x = (words >> np.uint32(4 * j)) if j else words
+    magq = (x << np.uint32(6)) & _MAGQ_MASK
+    sgn = (x << np.uint32(12)) & _SGN_MASK
+    # nz = 0 per half iff q == 1 (the stored-zero code): magq^0x40 is 0 only
+    # then, and +0x1C0 carries into bit 9 for every other q (max q<<6 is
+    # 0x1C0, so the add never crosses into the next half).
+    z = magq ^ np.uint32(0x00400040)
+    nz = ((z + np.uint32(0x01C001C0)) >> np.uint32(9)) & np.uint32(0x00010001)
+    bits = ((magq + _NRM_BIAS) | sgn) & (nz * np.uint32(0xFFFF))
     return pltpu.bitcast(bits, jnp.bfloat16)
 
 
 def decode_scales_e4m3(s_u8: jax.Array) -> jax.Array:
-    """E4M3 bytes (G, C) -> f32 (exact). Positive-scale invariant is
-    validated at process_nvfp4_scales time, so the sign bit is ignored."""
+    """E4M3 bytes (G, C) -> f32 (exact). No longer used by the kernels —
+    process_*_scales now decodes to bf16 offline (ops/layout.py) — but kept
+    as the in-kernel reference decode for tools/tpu_bench.py variants.
+    Positive-scale invariant is validated at process time, so the sign bit
+    is ignored."""
     s = s_u8.astype(jnp.int32)
     man = s & 7
     e = (s >> 3) & 0xF
@@ -109,13 +111,13 @@ def _chunk_scale_slab(sc: jax.Array, chunk: int, group: int) -> jax.Array:
     return pltpu.repeat(slab, 16, axis=0)          # (128, C)
 
 
-def _apply_scales(deq: jax.Array, sc_f32: jax.Array, rows_per_group: int,
+def _apply_scales(deq: jax.Array, sc: jax.Array, rows_per_group: int,
                   out_dtype=jnp.bfloat16) -> jax.Array:
     """Multiply pi-interleaved (R, C) decoded values by their scales
     ((R/group, C), R % 128 == 0). Used by the standalone dequant kernel;
     the fused kernel fuses this per chunk into its dot loop."""
     r, c = deq.shape
-    sc = sc_f32.astype(out_dtype)
+    sc = sc.astype(out_dtype)
     group = rows_per_group
     parts = []
     for ch in range(r // 128):
@@ -126,23 +128,22 @@ def _apply_scales(deq: jax.Array, sc_f32: jax.Array, rows_per_group: int,
 
 def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
                   out_ref, acc_ref, *, nk: int, group: int, srows: int,
-                  element_b: ElementB, high_precision: bool):
+                  high_precision: bool):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    decode_scales = (decode_scales_e4m3 if element_b == ElementB.NVFP4
-                     else decode_scales_e8m0)
     a_refs = (a0, a1, a2, a3)
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
-        # scales stay fully k-resident in VMEM (tiny: k/group rows); slice
-        # this quarter+step's rows (8-aligned dynamic sublane slice).
-        sc = decode_scales(s_ref[pl.ds((j * nk + kk) * srows, srows), :])
-        dt = jnp.float32 if high_precision else jnp.bfloat16
-        sc = sc.astype(dt)
+        # scales arrive bf16 (decoded offline) and stay fully k-resident in
+        # VMEM (tiny: k/group rows); slice this quarter+step's rows
+        # (8-aligned dynamic sublane slice).
+        sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+        if high_precision:
+            sc = sc.astype(jnp.float32)
         a = a_refs[j][:]
         if high_precision:
             # True-f32 MXU path: without precision=HIGHEST, TPU matmuls
@@ -177,14 +178,14 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     """c[m, n] = (a[m, k] @ dequant(words, scales).[k, n]) * global_scale.
 
     a        : (m, k) bf16 (f32 when sid.high_precision)
-    words    : (k/8, n) uint32 petit-tpu layout (ops/layout.py)
-    scales_t : (k/group, n) uint8 raw E4M3 / E8M0 bytes
+    words    : (k/8, n) uint32 petit-tpu q-coded layout (ops/layout.py)
+    scales_t : (k/group, n) bfloat16 scales decoded offline
     global_scale : () or (1,) f32
 
-    m and n are padded to block multiples here (zero weight words decode to
-    0.0 so n-padding contributes nothing; padded m rows are sliced off);
-    k % sid.block_k == 0 is required and guaranteed by the feasibility
-    filter (solution.is_feasible).
+    m and n are padded to block multiples here (n-padded columns get ZERO
+    scales, which kill whatever the zero-padded weight words decode to;
+    padded m rows are sliced off); k % sid.block_k == 0 is required and
+    guaranteed by the feasibility filter (solution.is_feasible).
     """
     # No Mosaic on CPU: fall back to the interpreter (the virtual-device
     # test/dryrun environment; real runs are on TPU).
@@ -240,10 +241,11 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 
     kernel = functools.partial(
         _fused_kernel, nk=nk, group=group, srows=srows,
-        element_b=sid.element_b, high_precision=sid.high_precision)
+        high_precision=sid.high_precision)
 
     flops = 2 * m_pad * n_pad * kp
-    bytes_accessed = (words.size * 4 + scales_t.size + a.size * a.dtype.itemsize
+    bytes_accessed = (words.size * 4 + scales_t.size * 2
+                      + a.size * a.dtype.itemsize
                       + m_pad * n_pad * 2)
     out = pl.pallas_call(
         kernel,
@@ -269,13 +271,11 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _dequant_kernel(w_ref, s_ref, out_ref, *, group: int, srows: int,
-                    nk: int, element_b: ElementB):
+                    nk: int):
     kk = pl.program_id(0)
-    decode_scales = (decode_scales_e4m3 if element_b == ElementB.NVFP4
-                     else decode_scales_e8m0)
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
-        sc = decode_scales(s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+        sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
         out_ref[j] = _apply_scales(deq, sc, group)
 
 
@@ -297,8 +297,7 @@ def dequant_tpu_layout(words: jax.Array, scales_t: jax.Array, *,
     kb4, srows = bk // 4, bk // 4 // group
 
     out = pl.pallas_call(
-        functools.partial(_dequant_kernel, group=group, srows=srows, nk=nk,
-                          element_b=element_b),
+        functools.partial(_dequant_kernel, group=group, srows=srows, nk=nk),
         grid=(nk, nn),
         in_specs=[
             pl.BlockSpec((bk // 8, bn), lambda kk_, nn_: (kk_, nn_),

@@ -7,14 +7,34 @@ nibble bits for branch-free MFMA-side dequant; here the layout is co-designed
 with the Pallas kernel's SWAR decode and the MXU instead:
 
   Packed weights W: uint32, shape (K/8, N).
-    Word W[r, c] holds 8 E2M1 nibbles of column n=c.  Slot s (bits 4s..4s+3),
-    with j = s & 3 and h = s >> 2, holds the nibble for
+    Word W[r, c] holds 8 *q-coded* E2M1 nibbles of column n=c.  Slot s (bits
+    4s..4s+3), with j = s & 3 and h = s >> 2, holds the nibble for
 
         k = j*(K/4) + chunk*128 + pi(i),     where
         chunk = r // 64,  i = 2*(r % 64) + h,
         pi(i) = (i % 8) * 16 + (i // 8)      (the (8,16)-transpose).
 
-    Two design moves are encoded here:
+    **q-coding** (v4): the stored magnitude is remapped offline, swapping
+    E2M1 codes 0 and 1 (q = [1, 0, 2, 3, 4, 5, 6, 7][m], self-inverse), so
+    the seven nonzero magnitudes {0.5, 1, 1.5, 2, 3, 4, 6} sit at
+    consecutive-bf16-bit-pattern codes q in {0, 2..7} and the in-kernel
+    decode collapses to
+
+        bits = ((q << 6) + 0x3F00) | sign          # per 16-bit half
+        zero:  killed by a 3-op carry test (q == 1)
+
+    — the TPU analog of the reference's PetitFormat bit prepositioning
+    (quantization_utils.cu:183-206), re-derived for the VPU: the magnitude
+    ramp 0x3F00 + q*0x40 covers all nonzero E2M1 values because E2M1 is a
+    minifloat embedded in bf16's exponent ramp, with a hole at q=1 (0.75 is
+    not an E2M1 value) that the zero code squats.  The straight embedding
+    bits = q<<6 (value*2^-126) would need no bias or zero fix at all, but
+    the VPU flushes bf16 subnormals in multiplies (measured — the analog of
+    the reference's gfx90a MFMA denormal flush, README.md:33), which kills
+    the 0.5 code at 2^-127; the +0x3F00 bias with an explicit zero mask is
+    the flush-proof form.
+
+    Two further design moves are encoded here:
 
     1. Pairing (slots j / j+4 -> one 32-bit lane): the kernel extracts pair
        j via  x = (W >> 4j) & 0x000F000F, leaving slot j in bits[3:0] (->
@@ -35,12 +55,15 @@ with the Pallas kernel's SWAR decode and the MXU instead:
        XLA transpose: a.reshape(m, K/128, 8, 16).swapaxes(-1, -2)); k-order
        inside a dot contraction is free as long as A and B agree.
 
-  Scales S: uint8, shape (K/group, N) — the checkpoint scales transposed to
-    k-major (group=16 E4M3 bytes for NVFP4, group=32 E8M0 bytes for MXFP4).
-    No value transform is applied: the reference's E4M3->"E5M3" x2^7 re-bias
-    (quantization_utils.cu:143-163) exists only to dodge GPU denormal
-    flushing; the TPU kernel decodes E4M3 to bf16/f32 exactly, so raw bytes
-    are kept and HBM scale traffic stays at 1 byte/group.
+  Scales S: bfloat16, shape (K/group, N) — the checkpoint scales decoded to
+    bf16 offline (exact: E4M3 has 3 mantissa bits, E8M0 is a power of two)
+    and transposed to k-major (group=16 for NVFP4, group=32 for MXFP4).
+    Storing decoded bf16 instead of raw bytes costs 1 extra byte/group of
+    HBM traffic (~3% of the weight stream) but removes the whole in-kernel
+    u8->i32->f32->bf16 decode+cast chain — the kernel is VPU-bound, not
+    DMA-bound, so this is a measured win.  It replaces the reference's
+    E4M3->"E5M3" x2^7 re-bias (quantization_utils.cu:143-163), which exists
+    only to dodge GPU denormal flushing.
 
 Negative-zero FP4 codes (0x8) are masked to +0 at repack, matching
 MaskNegativeZeroOnPetitFp4Format (quantization_utils.cu:196-199).
@@ -67,6 +90,22 @@ N_ALIGN = 16
 # groups (Mosaic dynamic sublane slices must be 8-aligned).
 K_PAD = 512
 K_PAD_MX = 1024
+
+# v4 q-code magnitude remap (self-inverse: swaps E2M1 codes 0 and 1).
+# Applied per nibble at repack (sign bit untouched); see module doc.
+# Note code 1 (the stored ZERO) decodes to +-0.75 before the kernel's zero
+# mask — all-zero padding words therefore rely on the mask, not the bias.
+Q_OF_M = np.array([1, 0, 2, 3, 4, 5, 6, 7], dtype=np.uint8)
+
+
+def _q_encode_nibbles(nib: np.ndarray) -> np.ndarray:
+    """E2M1 nibble codes -> stored q-codes (negative zero already masked)."""
+    return (nib & 8) | Q_OF_M[nib & 7]
+
+
+def _q_decode_nibbles(qnib: np.ndarray) -> np.ndarray:
+    """Stored q-codes -> E2M1 nibble codes (Q_OF_M is self-inverse)."""
+    return (qnib & 8) | Q_OF_M[qnib & 7]
 
 
 def pad_multiple(group_size: int) -> int:
@@ -125,6 +164,7 @@ def repack_fp4_weights(qweights, size_n: int, size_k: int, *,
             return out
     nib = formats.unpack_fp4_pairs(q)            # (n, k) codes
     nib = np.where(nib == 8, np.uint8(0), nib)   # mask negative zero
+    nib = _q_encode_nibbles(nib)                 # v4 q-code remap
     nib_t = nib.T.astype(np.uint32)              # (k, n)
     k, n = size_k, size_n
     words = np.zeros((k // 8, n), dtype=np.uint32)
@@ -156,16 +196,19 @@ def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarra
         j, h = s & 3, s >> 2
         rows = ((words >> (4 * s)) & 0xF).astype(np.uint8)
         nib_t[_slot_k(r, j, h, k)] = rows
-    return nib_t[:size_k].T
+    return _q_decode_nibbles(nib_t[:size_k].T)
 
 
 def process_fp4_scales(scales, size_n: int, size_k: int, *,
                        group_size: int) -> np.ndarray:
-    """Checkpoint scales (n, k/group) -> k-major uint8 (k/group, n).
+    """Checkpoint scales (n, k/group) -> k-major bfloat16 (k/group, n).
 
     Validates the positive-scale invariant the kernels rely on (ModelOpt/
-    Quark checkpoints guarantee it; reference README.md:31).
+    Quark checkpoints guarantee it; reference README.md:31) and decodes the
+    raw E4M3/E8M0 bytes to bf16 offline (exact — see module doc).
     """
+    import ml_dtypes
+
     _validate_nk(size_n, size_k)
     s = np.asarray(scales)
     if s.dtype != np.uint8:
@@ -180,13 +223,20 @@ def process_fp4_scales(scales, size_n: int, size_k: int, *,
             raise ValueError("NVFP4 E4M3 scales must be positive")
         if np.any((s & 0x7F) == 0x7F):
             raise ValueError("NVFP4 E4M3 scales must not be NaN")
+        dec = formats.e4m3_decode(s)     # exact in bf16 (3 mantissa bits)
     else:
         if np.any(s == 0xFF):
             raise ValueError("MXFP4 E8M0 scales must not be NaN (0xFF)")
-    out = np.ascontiguousarray(s.T)
+        # 2^(u8-127); byte 0 (2^-127) is below bf16 normal range — emit an
+        # exact 0.0 rather than a subnormal the VPU would flush anyway, so
+        # the contract is deterministic (same semantics as the previous
+        # in-kernel bit-shift decode, which produced +0.0 for byte 0).
+        dec = np.where(s == 0, np.float32(0), formats.e8m0_decode(s))
+    out = np.ascontiguousarray(dec.T.astype(ml_dtypes.bfloat16))
     kp = padded_k(size_k, pad_multiple(group_size))
-    if kp != size_k:  # zero scale bytes for the padded (all-zero) k region
-        pad = np.zeros(((kp - size_k) // group_size, size_n), np.uint8)
+    if kp != size_k:  # zero scales for the padded (all-zero-value) k region
+        pad = np.zeros(((kp - size_k) // group_size, size_n),
+                       ml_dtypes.bfloat16)
         out = np.concatenate([out, pad], axis=0)
     return out
 
@@ -203,9 +253,6 @@ def dequant_from_tpu_layout(words: np.ndarray, scales_t: np.ndarray,
     nib = unpack_fp4_weights(words, size_n, size_k)      # (n, size_k)
     vals = formats.fp4_decode(nib)                       # (n, size_k) f32
     sgroups = size_k // group_size
-    if group_size == formats.NVFP4_GROUP_SIZE:
-        sc = formats.e4m3_decode(scales_t[:sgroups].T)   # (n, size_k/16)
-    else:
-        sc = formats.e8m0_decode(scales_t[:sgroups].T)
+    sc = np.asarray(scales_t[:sgroups].T, dtype=np.float32)  # bf16 -> f32
     deq = (vals.reshape(size_n, -1, group_size) * sc[:, :, None])
     return deq.reshape(size_n, size_k).T                 # (size_k, n)

@@ -93,7 +93,7 @@ class SolutionHints:
 # The enumerated solution space (analog of gen_solution_list.cc:34-53's 39
 # tile combos; ours is the Pallas block-shape family).
 _BLOCK_MS = (16, 32, 64, 128, 256, 512)
-_BLOCK_NS = (128, 256, 512, 1024, 2048)
+_BLOCK_NS = (128, 256, 512, 1024, 2048, 4096)
 _BLOCK_KS = (512, 1024, 2048, 4096)
 
 
@@ -111,8 +111,8 @@ def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
     a = bm * (bk // 4) * 2 * 4        # four A k-slices, bf16
     w = (bk // 8) * bn * 4            # packed words, u32
-    # scales are fully k-resident per (i, n) block
-    s = (_padded_k(k) if k else bk) // sid.group_size * bn
+    # scales (bf16) are fully k-resident per (i, n) block
+    s = (_padded_k(k) if k else bk) // sid.group_size * bn * 2
     acc = bm * bn * 4                 # f32 accumulator scratch
     out = bm * bn * 2
     deq = 2 * (bk // 4) * bn * 4      # decode temporaries (f32-ish)
@@ -187,10 +187,18 @@ def choose_default_solution(m: int, n: int, k: int,
         raise ValueError(f"no feasible block_k for k={k}")
 
     if m <= 32:
-        # Decode regime: HBM-bound on the weight stream. Snug m, wide n
-        # blocks for long contiguous DMA, deep k.
+        # Decode regime: snug m, wide n blocks (v5e sweep: (16, 4096, 1024)
+        # beats (16, 512, 1024) by ~10%), k deep enough to amortize; degrade
+        # bn when n or VMEM (k-resident scales) can't support it.
         bm = 16 if m <= 16 else 32
-        bn, bk = 512, best_bk(1024)
+        bk = best_bk(1024)
+        for bn in (4096, 2048, 1024, 512):
+            if n % bn == 0 and is_feasible(
+                    SolutionId(bm, bn, bk, element_b, mfma_type,
+                               high_precision), m, n, k):
+                break
+        else:
+            bn = 512
     elif m <= 128:
         bm = 64 if m <= 64 else 128
         bn, bk = 512, best_bk(512)

@@ -53,7 +53,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         lib.petit_tpu_process_scales.restype = ctypes.c_int
         lib.petit_tpu_process_scales.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -73,15 +74,19 @@ def repack_fp4_native(qw: np.ndarray, n: int, k: int):
     return out
 
 
-def process_scales_native(scales: np.ndarray, n: int, groups: int):
+def process_scales_native(scales: np.ndarray, n: int, groups: int,
+                          group: int = 16):
+    """Raw E4M3/E8M0 (n, groups) u8 -> bf16 (groups, n), or None if the
+    native lib is unavailable. Returned array dtype is ml_dtypes.bfloat16."""
+    import ml_dtypes
     lib = get_lib()
     if lib is None:
         return None
     s = np.ascontiguousarray(scales, dtype=np.uint8)
-    out = np.empty((groups, n), dtype=np.uint8)
+    out = np.empty((groups, n), dtype=np.uint16)
     rc = lib.petit_tpu_process_scales(
         s.ctypes.data_as(ctypes.c_void_p), out.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int64(n), ctypes.c_int64(groups))
+        ctypes.c_int64(n), ctypes.c_int64(groups), ctypes.c_int(group))
     if rc != 0:
-        raise ValueError("native scale transpose failed")
-    return out
+        raise ValueError("native scale decode/transpose failed")
+    return out.view(ml_dtypes.bfloat16)

@@ -23,10 +23,15 @@
 
 namespace {
 
+// v4 q-code magnitude remap (swaps E2M1 codes 0 and 1; self-inverse) —
+// must match ops/layout.py Q_OF_M. Applied after negative-zero masking.
+constexpr uint8_t kQOfM[8] = {1, 0, 2, 3, 4, 5, 6, 7};
+
 inline uint8_t nib_at(const uint8_t* row, int64_t kk) {
   uint8_t byte = row[kk >> 1];
   uint8_t nib = (kk & 1) ? (byte >> 4) : (byte & 0xF);
-  return nib == 8 ? 0 : nib;  // mask negative zero
+  if (nib == 8) nib = 0;  // mask negative zero
+  return (nib & 8) | kQOfM[nib & 7];
 }
 
 void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
@@ -54,15 +59,36 @@ void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
   }
 }
 
-void transpose_u8(const uint8_t* src, uint8_t* dst, int64_t rows,
-                  int64_t cols, int64_t r0, int64_t r1) {
-  // src (rows, cols) -> dst (cols, rows); parallel over src rows chunk.
+// bf16 bit pattern of an E4M3 byte (positive, non-NaN; exact: 3 mantissa
+// bits) or of an E8M0 byte (2^(b-127); byte 0 -> the bf16 subnormal 0x0040).
+inline uint16_t e4m3_to_bf16(uint8_t b) {
+  const uint16_t m = b & 7, e = (b >> 3) & 0xF;
+  if (e != 0) return static_cast<uint16_t>(((e + 120) << 7) | (m << 4));
+  if (m == 0) return 0;
+  // subnormal: m/8 * 2^-6 = m * 2^-9; normalize (m in 1..7)
+  int sh = (m >= 4) ? 2 : (m >= 2 ? 1 : 0);
+  const uint16_t exp = static_cast<uint16_t>(127 - 9 + sh);
+  const uint16_t mant = static_cast<uint16_t>((m << (7 - sh)) & 0x7F);
+  return static_cast<uint16_t>((exp << 7) | mant);
+}
+
+inline uint16_t e8m0_to_bf16(uint8_t b) {
+  // byte 0 (2^-127) is below bf16 normal range: emit exact 0.0 (the VPU
+  // would flush the subnormal anyway; this keeps the contract deterministic)
+  if (b == 0) return 0;
+  return static_cast<uint16_t>(b) << 7;
+}
+
+void transpose_scales(const uint8_t* src, uint16_t* dst, int64_t rows,
+                      int64_t cols, int group, int64_t r0, int64_t r1) {
+  // src (rows, cols) u8 -> dst (cols, rows) bf16; parallel over src rows.
   constexpr int64_t TB = 64;
   for (int64_t c0 = 0; c0 < cols; c0 += TB) {
     const int64_t c1 = std::min(c0 + TB, cols);
     for (int64_t r = r0; r < r1; ++r) {
       for (int64_t c = c0; c < c1; ++c) {
-        dst[c * rows + r] = src[r * cols + c];
+        const uint8_t b = src[r * cols + c];
+        dst[c * rows + r] = (group == 16) ? e4m3_to_bf16(b) : e8m0_to_bf16(b);
       }
     }
   }
@@ -101,13 +127,14 @@ int petit_tpu_repack_fp4(const uint8_t* qw, uint32_t* out, int64_t n,
   return 0;
 }
 
-// scales: (n, k/group) uint8 -> out (k/group, n) uint8 (plain transpose; the
-// kernel decodes raw bytes). Validation of sign/NaN bytes stays in Python.
-int petit_tpu_process_scales(const uint8_t* scales, uint8_t* out, int64_t n,
-                             int64_t groups) {
-  if (n <= 0 || groups <= 0) return 1;
+// scales: (n, k/group) uint8 raw E4M3 (group=16) / E8M0 (group=32) bytes ->
+// out (k/group, n) bf16 bits (decode + transpose). Validation of sign/NaN
+// bytes stays in Python.
+int petit_tpu_process_scales(const uint8_t* scales, uint16_t* out, int64_t n,
+                             int64_t groups, int group) {
+  if (n <= 0 || groups <= 0 || (group != 16 && group != 32)) return 1;
   parallel_for(n, [&](int64_t r0, int64_t r1) {
-    transpose_u8(scales, out, n, groups, r0, r1);
+    transpose_scales(scales, out, n, groups, group, r0, r1);
   });
   return 0;
 }

@@ -98,3 +98,57 @@ def test_fused_gemm_high_precision():
     # f32 path: compare against f32 oracle (no bf16 rounding of A)
     ref = reference.gemm_reference(a, qw, scales, gs, fmt="nvfp4")
     np.testing.assert_allclose(np.asarray(c), ref, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("fmt", ["nvfp4", "mxfp4"])
+def test_kernel_dequant_exhaustive_values(fmt):
+    """Every (FP4 nibble x scale byte) combination decodes bit-exactly
+    through repack -> in-kernel decode, vs the closed-form host product.
+
+    Reference analog: ExhaustiveFp4DequantTest / MxFp4DequantTest
+    (fp4/quantization_utils_fp4_test.cc:255-394). Products e2m1 x scale are
+    exact in bf16 (2 + 3 significand bits), so the comparison is equality.
+    """
+    group = 16 if fmt == "nvfp4" else 32
+    n, k = 128, 32 * group  # 32 scale groups per row
+    # every nibble code in every group: k cycles 0..15
+    nib = np.tile(np.arange(16, dtype=np.uint8), (n, k // 16))
+    nib[nib == 8] = 0
+    if fmt == "nvfp4":
+        valid = np.array([b for b in range(127) if (b & 0x7F) != 0x7F],
+                         dtype=np.uint8)  # positive, non-NaN E4M3
+    else:
+        valid = np.arange(255, dtype=np.uint8)  # all E8M0 except NaN
+    gidx = (np.arange(n)[:, None] * (k // group)
+            + np.arange(k // group)[None, :])
+    scales = valid[gidx % len(valid)]
+    assert len(np.unique(scales)) == len(valid)  # full byte coverage
+
+    words = layout.repack_fp4_weights(
+        formats.pack_fp4_pairs(nib), n, k,
+        pad_to=layout.pad_multiple(group))
+    st = layout.process_fp4_scales(scales, n, k, group_size=group)
+    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
+    deq = np.asarray(
+        fused.dequant_tpu_layout(jnp.asarray(words), jnp.asarray(st),
+                                 element_b=eb, interpret=True),
+        np.float32)[:k]  # (k, n)
+
+    vals = formats.fp4_decode(nib).astype(np.float64)  # (n, k)
+    sc = (formats.e4m3_decode(scales) if fmt == "nvfp4"
+          else formats.e8m0_decode(scales)).astype(np.float64)
+    want = (vals.reshape(n, -1, group) * sc[:, :, None]).reshape(n, k).T
+    # bf16-exact products: round the closed form through bf16
+    import ml_dtypes
+    want = want.astype(np.float32).astype(ml_dtypes.bfloat16)
+    got = deq.astype(ml_dtypes.bfloat16)
+    if fmt == "mxfp4":
+        # kernel contract: subnormal flush — the E8M0 byte-0 scale (2^-127,
+        # a bf16 subnormal operand) acts as zero, and products below the
+        # bf16 normal range flush to 0. Only reachable with extreme E8M0
+        # scales, never by NVFP4's E4M3 range.
+        flush = (np.repeat(sc.T < 2.0 ** -126, group, axis=0)
+                 | (np.abs(want.astype(np.float64)) < 2.0 ** -126))
+        got = np.where(flush, ml_dtypes.bfloat16(0), got)
+        want = np.where(flush, ml_dtypes.bfloat16(0), want)
+    assert np.array_equal(got.view(np.uint16), want.view(np.uint16))

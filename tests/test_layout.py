@@ -26,7 +26,10 @@ def test_repack_masks_negative_zero():
     n, k = 16, 128
     nib = np.full((n, k), 8, dtype=np.uint8)  # all negative zeros
     words = layout.repack_fp4_weights(formats.pack_fp4_pairs(nib), n, k)
-    assert np.all(words == 0)
+    # stored zero is q-code 1 in every slot (v4 layout: codes 0 and 1 swap)
+    assert np.all(words == 0x11111111)
+    back = layout.unpack_fp4_weights(words, n, k)
+    assert np.all(back == 0)  # decodes as +0, not -0
 
 
 def test_repack_accepts_int32_view():

@@ -27,11 +27,20 @@ def test_native_repack_parity(lib):
         assert np.array_equal(ref, nat), (n, k)
 
 
-def test_native_scale_transpose_parity(lib):
+def test_native_scale_decode_parity(lib):
+    import ml_dtypes
     rng = np.random.default_rng(1)
-    s = rng.integers(0, 127, size=(96, 64), dtype=np.uint8)
-    nat = runtime.process_scales_native(s, 96, 64)
-    assert np.array_equal(nat, s.T)
+    # E4M3 (positive, non-NaN): every byte value 0..126 appears
+    s = np.arange(127, dtype=np.uint8).repeat(4).reshape(127 * 2, 2)
+    nat = runtime.process_scales_native(s, s.shape[0], s.shape[1], group=16)
+    ref = formats.e4m3_decode(s).T.astype(ml_dtypes.bfloat16)
+    assert np.array_equal(nat.view(np.uint16), ref.view(np.uint16))
+    # E8M0: every byte value 0..254 (byte 0 -> exact 0.0 by contract)
+    s2 = np.arange(255, dtype=np.uint8).repeat(2).reshape(255, 2)
+    nat2 = runtime.process_scales_native(s2, 255, 2, group=32)
+    ref2 = np.where(s2 == 0, np.float32(0),
+                    formats.e8m0_decode(s2)).T.astype(ml_dtypes.bfloat16)
+    assert np.array_equal(nat2.view(np.uint16), ref2.view(np.uint16))
 
 
 def test_native_repack_rejects_bad_shape(lib):

@@ -13,7 +13,11 @@ Variants isolate pipeline stages of the fused kernel:
 """
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -60,7 +64,7 @@ def marginal_time(make_loop, n1=50, n2=350, reps=4):
 # --------------------------------------------------------------------------
 
 def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
-                    acc_ref, *, nk, group, srows, stage):
+                    acc_ref, bsc_ref, *, nk, group, srows, stage):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -108,8 +112,8 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                 bits = bits | ((x << np.uint32(12)) & np.uint32(0x80008000))
                 b = pltpu.bitcast(bits, jnp.bfloat16)
             if stage == "fullint":
-                sc = fused.decode_scales_e4m3(
-                    s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+                sc = s_ref[pl.ds((j * nk + kk) * srows, srows),
+                           :].astype(jnp.float32)
                 g2, c2 = sc.shape
                 r2 = g2 * group
                 row = jax.lax.broadcasted_iota(jnp.int32, (r2, g2), 0) // group
@@ -120,6 +124,119 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                 b = b * sb
             acc_ref[:] += jnp.dot(a_refs[j][:], b,
                                   preferred_element_type=jnp.float32)
+    elif stage in ("qdot", "qscaled", "qscaledbv"):
+        # v4 prototype: offline q-code remap -> decode = (q<<6) + bias | sgn,
+        # zero killed by an equality mask (timing-accurate, values only
+        # meaningful for timing comparison)
+        for j in range(4):
+            x = (w_ref[:] >> np.uint32(4 * j)) if j else w_ref[:]
+            magq = (x << np.uint32(6)) & np.uint32(0x01C001C0)
+            sgn = (x << np.uint32(12)) & np.uint32(0x80008000)
+            z = magq ^ np.uint32(0x00400040)
+            nzf = (z | (z >> np.uint32(1)) | (z >> np.uint32(2))) \
+                & np.uint32(0x00400040)
+            bits = (magq + np.uint32(0x3F003F00)) | sgn
+            bits = bits & (nzf * np.uint32(0x3FF))
+            b = pltpu.bitcast(bits, jnp.bfloat16)
+            if stage in ("qscaled", "qscaledbv"):
+                sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+                r, c = b.shape
+                if stage == "qscaledbv":
+                    # vreg-aligned broadcast-view multiply: rows cycle
+                    # period 8 by the pi-interleave; no materialized slab
+                    parts = []
+                    for ch in range(r // 128):
+                        sc8 = sc[ch * 8:(ch + 1) * 8]
+                        bb = b[ch * 128:(ch + 1) * 128].reshape(16, 8, c)
+                        parts.append((bb * sc8[None]).reshape(128, c))
+                    b = jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+                else:
+                    b = fused._apply_scales(b, sc, 16)
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
+    elif stage in ("sdecdot", "srepdot", "sconstdot"):
+        # bisect the scale path on top of the q-code decode:
+        #   sdecdot   + decode_scales only (result consumed cheaply)
+        #   srepdot   + repeat slab, mul by UNDECODED const slab (no decode)
+        #   sconstdot + full slab mul with a constant scale (no decode)
+        for j in range(4):
+            x = (w_ref[:] >> np.uint32(4 * j)) if j else w_ref[:]
+            magq = (x << np.uint32(6)) & np.uint32(0x01C001C0)
+            sgn = (x << np.uint32(12)) & np.uint32(0x80008000)
+            z = magq ^ np.uint32(0x00400040)
+            nzf = (z | (z >> np.uint32(1)) | (z >> np.uint32(2))) \
+                & np.uint32(0x00400040)
+            bits = ((magq + np.uint32(0x3F003F00)) | sgn) \
+                & (nzf * np.uint32(0x3FF))
+            b = pltpu.bitcast(bits, jnp.bfloat16)
+            r, c = b.shape
+            if stage == "sdecdot":
+                sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+                # consume sc without slab: fold into acc row 0 (cheap)
+                acc_ref[0:1, :] += jnp.sum(sc.astype(jnp.float32), axis=0,
+                                           keepdims=True)
+            elif stage in ("srepdot", "sconstdot"):
+                scu8 = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+                scb = pltpu.bitcast(
+                    (scu8[0:8].astype(jnp.int32) << 7) | 0x3F80_0000 - 0x3F80_0000 + 0x3F800000, jnp.float32
+                ).astype(jnp.bfloat16) if False else jnp.ones((8, c), jnp.bfloat16)
+                for ch in range(r // 128):
+                    slab = pltpu.repeat(scb, 16, axis=0)
+                    b2 = b[ch * 128:(ch + 1) * 128] * slab
+                    acc_ref[:] += jnp.dot(a_refs[j][:, ch * 128:(ch + 1) * 128],
+                                          b2,
+                                          preferred_element_type=jnp.float32)
+                continue
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
+    elif stage in ("qsc", "fullsc"):
+        # scale-apply via 16x vreg-aligned (8, C) multiplies written into a
+        # VMEM scratch (no pltpu.repeat slab materialization); dot reads the
+        # scratch. qsc uses the v4 q-code decode, fullsc the current decode.
+        for j in range(4):
+            if stage == "qsc":
+                x = (w_ref[:] >> np.uint32(4 * j)) if j else w_ref[:]
+                magq = (x << np.uint32(6)) & np.uint32(0x01C001C0)
+                sgn = (x << np.uint32(12)) & np.uint32(0x80008000)
+                z = magq ^ np.uint32(0x00400040)
+                nzf = (z | (z >> np.uint32(1)) | (z >> np.uint32(2))) \
+                    & np.uint32(0x00400040)
+                bits = ((magq + np.uint32(0x3F003F00)) | sgn) \
+                    & (nzf * np.uint32(0x3FF))
+                deq = pltpu.bitcast(bits, jnp.bfloat16)
+            else:
+                deq = fused.decode_quarter(w_ref[:], j)
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            r, c = deq.shape
+            for ch in range(r // 128):
+                sc8 = sc[ch * 8:(ch + 1) * 8]
+                for i in range(16):
+                    r0 = ch * 128 + i * 8
+                    bsc_ref[i * 8:(i + 1) * 8, :] = deq[r0:r0 + 8] * sc8
+                acc_ref[:] += jnp.dot(a_refs[j][:, ch * 128:(ch + 1) * 128],
+                                      bsc_ref[:],
+                                      preferred_element_type=jnp.float32)
+    elif stage == "fullbv":
+        # current decode + broadcast-view scale multiply (no repeat slab)
+        for j in range(4):
+            deq = fused.decode_quarter(w_ref[:], j)
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            r, c = deq.shape
+            parts = []
+            for ch in range(r // 128):
+                sc8 = sc[ch * 8:(ch + 1) * 8]
+                bb = deq[ch * 128:(ch + 1) * 128].reshape(16, 8, c)
+                parts.append((bb * sc8[None]).reshape(128, c))
+            b = jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+            acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                  preferred_element_type=jnp.float32)
+    elif stage == "fixdot":
+        # full decode (incl. m<2 fix + sign) + dots, NO scale apply:
+        # full - fixdot isolates the scale decode/broadcast/mul cost
+        for j in range(4):
+            deq = fused.decode_quarter(w_ref[:], j)
+            acc_ref[:] += jnp.dot(a_refs[j][:], deq,
+                                  preferred_element_type=jnp.float32)
     else:
         for j in range(4):
             deq = fused.decode_quarter(w_ref[:], j)
@@ -127,8 +244,7 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                 acc_ref[0:1, :] += jnp.sum(
                     deq.astype(jnp.float32), axis=0, keepdims=True)
                 continue
-            sc = fused.decode_scales_e4m3(
-                s_ref[pl.ds((j * nk + kk) * srows, srows), :])
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
             b = fused._apply_scales(deq, sc, group)
             if stage == "scaled":
                 acc_ref[0:1, :] += jnp.sum(
@@ -142,7 +258,7 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
         out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
 
 
-def variant_call(stage, sid, m, n, k):
+def variant_call(stage, sid, m, n, k, nodma=False):
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
     nm, nn, nk = max(m // bm, 1), n // bn, k // bk
     kb4, srows = bk // 4, bk // 4 // 16
@@ -152,6 +268,9 @@ def variant_call(stage, sid, m, n, k):
 
     kern = functools.partial(_variant_kernel, nk=nk, group=16, srows=srows,
                              stage=stage)
+    # nodma: weights block resident (constant index map) -> isolates compute
+    w_map = ((lambda i, nn_, kk_: (0, 0)) if nodma
+             else (lambda i, nn_, kk_: (kk_, nn_)))
 
     def call(a, w, s, gs):
         return pl.pallas_call(
@@ -160,7 +279,7 @@ def variant_call(stage, sid, m, n, k):
             in_specs=[
                 *[pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
                   for j in range(4)],
-                pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
+                pl.BlockSpec((bk // 8, bn), w_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k // 16, bn), lambda i, nn_, kk_: (0, nn_),
                              memory_space=pltpu.VMEM),
@@ -170,7 +289,8 @@ def variant_call(stage, sid, m, n, k):
             out_specs=pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((max(m, bm), n), jnp.bfloat16),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                            pltpu.VMEM((128, bn), jnp.bfloat16)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(a, a, a, a, w, s, gs)
@@ -227,6 +347,9 @@ def main():
     p.add_argument("--n2", type=int, default=350)
     p.add_argument("--stages", type=str,
                    default="stream,decode,scaled,full,dotonly")
+    p.add_argument("--nodma", action="store_true",
+                   help="weights block resident (no HBM stream): isolates "
+                        "pure compute time to test DMA/compute overlap")
     p.add_argument("--sweep", action="store_true",
                    help="sweep block shapes of the real fused kernel")
     args = p.parse_args()
@@ -293,7 +416,8 @@ def main():
                 mk = loop_of(dotonly_call(sid, m, n, k), a, bd, gs)
                 bytes_ = bd.size * 2
             else:
-                mk = loop_of(variant_call(stage, sid, m, n, k), a, words,
+                mk = loop_of(variant_call(stage, sid, m, n, k,
+                                          nodma=args.nodma), a, words,
                              st, gs)
                 bytes_ = wbytes
             t = marginal_time(mk, args.n1, args.n2)
