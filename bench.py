@@ -39,66 +39,96 @@ def marginal_time(call, *args, **kw):
 DEBUG = os.environ.get("BENCH_DEBUG", "") != ""
 
 
-# Reference active bench suite: m in {16, 256, 512} x Llama-70B (n, k) pairs
-# (tools/benchmarks/matmul.py:92-117). Subset by default to keep driver runs
-# fast; --full sweeps everything.
+# Reference active bench suite: m in {16, 256, 512} x 8 Llama-70B (n, k)
+# pairs (tools/benchmarks/matmul.py:92-117). Subset by default to keep
+# driver runs fast; --full sweeps everything.
 SHAPES_NK = [
-    (10240, 8192),
+    (4096, 4096),
+    (4096, 14336),
+    (6144, 4096),
     (8192, 8192),
-    (57344, 8192),
     (8192, 28672),
-    (28672, 8192),
-    (8192, 1024),
+    (10240, 8192),
+    (28672, 4096),
+    (57344, 8192),
 ]
 SHAPES_NK_QUICK = [(10240, 8192), (8192, 8192), (8192, 28672)]
 
+# Production-trace suite (m, n, k): the reference ships an 80-shape trace
+# with ragged m up to 16375 (tools/benchmarks/matmul.py:9-90, shadowed
+# there; exposed here via --trace). Subsampled to one shape per (m-band,
+# projection) to keep a run affordable.
+SHAPES_TRACE_MNK = [
+    (15, 8192, 8192), (15, 57344, 8192), (44, 4096, 14336),
+    (44, 8192, 1024), (566, 7168, 8192), (611, 28672, 4096),
+    (932, 8192, 28672), (1340, 8192, 3584), (2084, 10240, 8192),
+    (4314, 4096, 4096), (14437, 6144, 4096), (16375, 8192, 8192),
+]
 
-def run(ms, shapes, tune, n1, n2):
+
+def run(cases, tune, n1, n2, fmt="nvfp4"):
+    """cases: iterable of (m, n, k); consecutive equal (n, k) reuse weights."""
     import petit_kernel_tpu as pk
     from petit_kernel_tpu.numerics import reference as ref
     from petit_kernel_tpu.ops import autotune
+    from petit_kernel_tpu.ops.solution import ElementB
 
     autotune.load_table()  # persisted per-device-kind table, if present
+    group = 16 if fmt == "nvfp4" else 32
+    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
 
     results = []
-    for (n, k) in shapes:
-        rng = np.random.default_rng(n + k)
-        # fabricate a quantized weight (bench parity: matmul_petit.cc:186-214)
-        qw = rng.integers(0, 256, size=(n, k // 2), dtype=np.uint8)
-        scales = ((rng.integers(4, 11, size=(n, k // 16), dtype=np.uint8) << 3)
-                  | rng.integers(0, 8, size=(n, k // 16), dtype=np.uint8))
-        gs = np.float32(1.0)
-        b = pk.repack_nvfp4(qw, n, k)
-        s = pk.process_nvfp4_scales(scales, n, k)
-        b_dense = jnp.asarray(
-            ref.dequant_nvfp4(qw, scales).T.astype(np.float32),
-            jnp.bfloat16)  # (k, n) dense baseline operand
-        for m in ms:
-            a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-
-            if tune:
-                sid_obj = autotune.tune_shape(m, n, k)
-                sid = sid_obj.repr()
+    prev_nk = None
+    for (m, n, k) in cases:
+        if (n, k) != prev_nk:
+            prev_nk = (n, k)
+            rng = np.random.default_rng(n + k)
+            # fabricate a quantized weight (parity: matmul_petit.cc:186-214)
+            qw = rng.integers(0, 256, size=(n, k // 2), dtype=np.uint8)
+            if fmt == "nvfp4":
+                scales = ((rng.integers(4, 11, size=(n, k // group),
+                                        dtype=np.uint8) << 3)
+                          | rng.integers(0, 8, size=(n, k // group),
+                                         dtype=np.uint8))
+                b = pk.repack_nvfp4(qw, n, k)
+                s = pk.process_nvfp4_scales(scales, n, k)
+                deq = ref.dequant_nvfp4(qw, scales)
             else:
-                sid = -1
+                scales = rng.integers(118, 132, size=(n, k // group),
+                                      dtype=np.uint8)
+                b = pk.repack_mxfp4(qw, n, k)
+                s = pk.process_mxfp4_scales(scales, n, k)
+                deq = ref.dequant_mxfp4(qw, scales)
+            gs = np.float32(1.0)
+            b_dense = jnp.asarray(deq.T.astype(np.float32),
+                                  jnp.bfloat16)  # (k, n) dense operand
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
-            def fp4_call(a2, b2, s2):
-                return pk.mul_nvfp4_a16(a2, b2, s2, gs, m, n, k, sid)
+        if tune:
+            sid_obj = autotune.tune_shape(m, n, k, eb)
+            sid = sid_obj.repr()
+        else:
+            sid = -1
 
-            def dense_call(a2, bd):
-                return jnp.dot(a2, bd,
-                               preferred_element_type=jnp.float32
-                               ).astype(jnp.bfloat16)
+        mul = pk.mul_nvfp4_a16 if fmt == "nvfp4" else pk.mul_mxfp4_a16
 
-            fp4_bytes = n * k / 2 + n * k / 16 + m * k * 2
-            dense_bytes = k * n * 2 + m * k * 2
-            t_fp4 = marginal_time(fp4_call, a, b, s, n1=n1, n2=n2,
-                                  bytes_hint=fp4_bytes)
-            t_dense = marginal_time(dense_call, a, b_dense, n1=n1, n2=n2,
-                                    bytes_hint=dense_bytes)
-            tflops = 2 * m * n * k / t_fp4 / 1e12
-            results.append(dict(m=m, n=n, k=k, t_fp4=t_fp4, t_dense=t_dense,
-                                tflops=tflops, speedup=t_dense / t_fp4))
+        def fp4_call(a2, b2, s2):
+            return mul(a2, b2, s2, gs, m, n, k, sid)
+
+        def dense_call(a2, bd):
+            return jnp.dot(a2, bd,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        fp4_bytes = n * k / 2 + n * k / group * 2 + m * k * 2
+        dense_bytes = k * n * 2 + m * k * 2
+        t_fp4 = marginal_time(fp4_call, a, b, s, n1=n1, n2=n2,
+                              bytes_hint=fp4_bytes)
+        t_dense = marginal_time(dense_call, a, b_dense, n1=n1, n2=n2,
+                                bytes_hint=dense_bytes)
+        tflops = 2 * m * n * k / t_fp4 / 1e12
+        results.append(dict(m=m, n=n, k=k, t_fp4=t_fp4, t_dense=t_dense,
+                            tflops=tflops, speedup=t_dense / t_fp4))
     return results
 
 
@@ -106,18 +136,25 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--full", action="store_true", help="full shape sweep")
     p.add_argument("--tune", action="store_true", help="autotune each shape")
+    p.add_argument("--trace", action="store_true",
+                   help="production-trace suite (ragged m) instead")
+    p.add_argument("--format", choices=("nvfp4", "mxfp4"), default="nvfp4")
     p.add_argument("--n1", type=int, default=20)
     p.add_argument("--n2", type=int, default=None)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
-    shapes = SHAPES_NK if args.full else SHAPES_NK_QUICK
-    ms = (16, 256, 512) if args.full else (16,)
-    results = run(ms, shapes, args.tune, args.n1, args.n2)
+    if args.trace:
+        cases = SHAPES_TRACE_MNK
+    else:
+        shapes = SHAPES_NK if args.full else SHAPES_NK_QUICK
+        ms = (16, 256, 512) if args.full else (16,)
+        cases = [(m, n, k) for (n, k) in shapes for m in ms]
+    results = run(cases, args.tune, args.n1, args.n2, fmt=args.format)
 
     if args.verbose:
         for r in results:
-            wgb = (r["n"] * r["k"] / 2 + r["n"] * r["k"] / 16) / 1e9
+            wgb = (r["n"] * r["k"] / 2 + r["n"] * r["k"] / 8) / 1e9
             print(f"# m={r['m']:4d} n={r['n']:6d} k={r['k']:6d} "
                   f"fp4={r['t_fp4'] * 1e6:9.1f}us dense={r['t_dense'] * 1e6:9.1f}us "
                   f"{r['tflops']:7.2f} TFLOP/s "
