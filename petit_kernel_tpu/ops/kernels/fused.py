@@ -171,6 +171,56 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
         out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
 
 
+def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
+                     out_ref, acc_ref, bc_ref, *, nk: int, group: int,
+                     srows: int, high_precision: bool):
+    """Weight-cache variant: grid (nn, nm, nk). At the first m-block of each
+    n-block, decode+scale this k-step's weights into the k-resident VMEM
+    cache bc_ref (4, kp/4, bn); every m-block's dots read the cache — the
+    VPU dequant runs once per weight block instead of ceil(m/bm) times."""
+    i = pl.program_id(1)
+    kk = pl.program_id(2)
+    kb4 = 2 * w_ref.shape[0]  # rows per quarter per step (= bk/4)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _decode():
+        for j in range(4):
+            deq = decode_quarter(w_ref[:], j)
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            for ch in range(deq.shape[0] // 128):
+                b = (deq[ch * 128:(ch + 1) * 128]
+                     * _chunk_scale_slab(sc, ch, group))
+                # kk indexes the cache's LEADING dim only (pure offset; a
+                # dynamic mid-dim slice would cost a Mosaic copy per access)
+                bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = b
+
+    a_refs = (a0, a1, a2, a3)
+    for j in range(4):
+        a = a_refs[j][:]
+        if high_precision:
+            a = a.astype(jnp.float32)
+        for ch in range(kb4 // 128):
+            b = bc_ref[kk, j, ch * 128:(ch + 1) * 128, :]
+            a_ch = a[:, ch * 128:(ch + 1) * 128]
+            if high_precision:
+                # cache holds bf16 dequant products (exact for NVFP4); the
+                # high-precision gain here is the f32 A operand
+                acc_ref[:] += jnp.dot(a_ch, b.astype(jnp.float32),
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+            else:
+                acc_ref[:] += jnp.dot(a_ch, b,
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _epilogue():
+        out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("sid", "interpret", "out_dtype"))
 def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
               global_scale: jax.Array, *, sid: SolutionId,
@@ -219,19 +269,45 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     srows = kb4 // group  # scale rows per quarter per step
     sg = kp // group      # total scale rows (fully VMEM-resident per block)
 
-    def a_map(j):
-        return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+    if sid.weight_cache:
+        # grid (nn, nm, nk): for each n-block, the first m-block's pass
+        # decodes every k-step into the k-resident cache; later m-blocks
+        # only run MXU dots (kernel _fused_kernel_wc).
+        def a_map(j):
+            return lambda nn_, i, kk_, j=j: (i, j * nk + kk_)
+
+        grid = (nn, nm, nk)
+        w_map = lambda nn_, i, kk_: (kk_, nn_)
+        s_map = lambda nn_, i, kk_: (0, nn_)
+        gs_map = lambda nn_, i, kk_: (0, 0)
+        out_map = lambda nn_, i, kk_: (i, nn_)
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32),
+                   pltpu.VMEM((nk, 4, kb4, bn), jnp.bfloat16)]
+        kernel = functools.partial(
+            _fused_kernel_wc, nk=nk, group=group, srows=srows,
+            high_precision=sid.high_precision)
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+        def a_map(j):
+            return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+
+        grid = (nm, nn, nk)
+        w_map = lambda i, nn_, kk_: (kk_, nn_)
+        s_map = lambda i, nn_, kk_: (0, nn_)
+        gs_map = lambda i, nn_, kk_: (0, 0)
+        out_map = lambda i, nn_, kk_: (i, nn_)
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+        kernel = functools.partial(
+            _fused_kernel, nk=nk, group=group, srows=srows,
+            high_precision=sid.high_precision)
+        semantics = ("parallel", "parallel", "arbitrary")
 
     a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
                for j in range(4)]
-    w_spec = pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
-                          memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((sg, bn), lambda i, nn_, kk_: (0, nn_),
-                          memory_space=pltpu.VMEM)
-    gs_spec = pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
-                           memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
-                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bk // 8, bn), w_map, memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((sg, bn), s_map, memory_space=pltpu.VMEM)
+    gs_spec = pl.BlockSpec((1, 1), gs_map, memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((bm, bn), out_map, memory_space=pltpu.VMEM)
 
     gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
     if sid.high_precision:
@@ -239,23 +315,19 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     elif a.dtype != jnp.bfloat16:
         a = a.astype(jnp.bfloat16)
 
-    kernel = functools.partial(
-        _fused_kernel, nk=nk, group=group, srows=srows,
-        high_precision=sid.high_precision)
-
     flops = 2 * m_pad * n_pad * kp
     bytes_accessed = (words.size * 4 + scales_t.size * 2
                       + a.size * a.dtype.itemsize
                       + m_pad * n_pad * 2)
     out = pl.pallas_call(
         kernel,
-        grid=(nm, nn, nk),
+        grid=grid,
         in_specs=[*a_specs, w_spec, s_spec, gs_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),

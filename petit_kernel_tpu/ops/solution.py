@@ -50,15 +50,23 @@ class SolutionId:
     element_b: ElementB = ElementB.NVFP4
     mfma_type: MatmulType = MatmulType.BF16
     high_precision: bool = False
+    # Decode each weight block once into a VMEM cache and reuse it for every
+    # m-block (grid reordered (nn, nm, nk)): amortizes the VPU dequant at
+    # large m, where the plain grid re-decodes weights ceil(m/block_m) times.
+    # Costs k_padded * block_n * 2 bytes of VMEM. Analog of the reference's
+    # kMatmulFeatures_Grid feature bit (gemm.h:43-49) in spirit: a kernel
+    # structure variant selected through the same SolutionId mechanism.
+    weight_cache: bool = False
 
     def __post_init__(self):
         assert self.block_m % BLOCK_M_UNIT == 0 and self.block_m > 0
         assert self.block_n % BLOCK_N_UNIT == 0 and self.block_n > 0
         assert self.block_k % BLOCK_K_UNIT == 0 and self.block_k > 0
 
-    # 64-bit layout: [m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
+    # 64-bit layout: [wc:1][m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
     def repr(self) -> int:
-        return ((self.block_m // BLOCK_M_UNIT) << 26 |
+        return (int(self.weight_cache) << 34 |
+                (self.block_m // BLOCK_M_UNIT) << 26 |
                 (self.block_n // BLOCK_N_UNIT) << 16 |
                 (self.block_k // BLOCK_K_UNIT) << 6 |
                 int(self.element_b) << 3 |
@@ -74,6 +82,7 @@ class SolutionId:
             element_b=ElementB((r >> 3) & 0x7),
             mfma_type=MatmulType((r >> 1) & 0x3),
             high_precision=bool(r & 1),
+            weight_cache=bool((r >> 34) & 1),
         )
 
     @property
@@ -111,12 +120,14 @@ def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
     a = bm * (bk // 4) * 2 * 4        # four A k-slices, bf16
     w = (bk // 8) * bn * 4            # packed words, u32
+    kp = _padded_k(k, sid.group_size) if k else bk
     # scales (bf16) are fully k-resident per (i, n) block
-    s = (_padded_k(k) if k else bk) // sid.group_size * bn * 2
+    s = kp // sid.group_size * bn * 2
     acc = bm * bn * 4                 # f32 accumulator scratch
     out = bm * bn * 2
     deq = 2 * (bk // 4) * bn * 4      # decode temporaries (f32-ish)
-    return 2 * (a + w + s) + acc + out + deq
+    cache = kp * bn * 2 if sid.weight_cache else 0
+    return 2 * (a + w + s) + acc + out + deq + cache
 
 
 def is_feasible(sid: SolutionId, m: int, n: int, k: int) -> bool:
@@ -140,6 +151,9 @@ def is_feasible(sid: SolutionId, m: int, n: int, k: int) -> bool:
         return False
     if sid.block_n > 2 * max(n, BLOCK_N_UNIT):
         return False
+    # weight_cache only pays when there are >= 2 m-blocks to amortize over
+    if sid.weight_cache and m <= sid.block_m:
+        return False
     if vmem_estimate(sid, k) > VMEM_BUDGET:
         return False
     return True
@@ -155,10 +169,11 @@ def get_solutions(m: int, n: int, k: int,
     for bm in _BLOCK_MS:
         for bn in _BLOCK_NS:
             for bk in _BLOCK_KS:
-                sid = SolutionId(bm, bn, bk, element_b, mfma_type,
-                                 high_precision)
-                if is_feasible(sid, m, n, k):
-                    out.append(sid)
+                for wc in (False, True):
+                    sid = SolutionId(bm, bn, bk, element_b, mfma_type,
+                                     high_precision, weight_cache=wc)
+                    if is_feasible(sid, m, n, k):
+                        out.append(sid)
     return out
 
 
@@ -199,13 +214,23 @@ def choose_default_solution(m: int, n: int, k: int,
                 break
         else:
             bn = 512
-    elif m <= 128:
-        bm = 64 if m <= 64 else 128
-        bn, bk = 512, best_bk(512)
     else:
-        # Prefill/compute-bound: big MXU tiles.
-        bm = 256
-        bn, bk = 512, best_bk(512)
+        # Prefill/compute-bound: snug power-of-two m block capped at 512
+        # (fewer m-blocks = fewer redundant weight decodes; measured on v5e:
+        # m=512 bm 256->512 is 623->537 us), fat (1024, 1024) n/k tiles
+        # (537->454 us). The weight_cache kernel variant was measured and
+        # does NOT pay here (its VMEM cache write/read cancels the decode
+        # savings: 2105 vs 2169 us at m=2048) — it stays available to the
+        # autotuner only.
+        bm = min(512, 1 << (m - 1).bit_length())
+        bk = best_bk(1024)
+        for bn in (1024, 512, 256, 128):
+            if n % bn == 0 and is_feasible(
+                    SolutionId(bm, bn, bk, element_b, mfma_type,
+                               high_precision), m, n, k):
+                break
+        else:
+            bn = 512
     sid = SolutionId(bm, bn, bk, element_b, mfma_type, high_precision)
     if not is_feasible(sid, m, n, k):
         sols = get_solutions(m, n, k, element_b, mfma_type, high_precision)

@@ -152,3 +152,41 @@ def test_kernel_dequant_exhaustive_values(fmt):
         got = np.where(flush, ml_dtypes.bfloat16(0), got)
         want = np.where(flush, ml_dtypes.bfloat16(0), want)
     assert np.array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
+@pytest.mark.parametrize(("m", "n", "k", "blocks"), [
+    (64, 256, 1024, (16, 128, 512)),   # 4 m-blocks, 2 n-blocks, 2 k-steps
+    (33, 128, 512, (16, 128, 512)),    # padded m, odd final block
+    (128, 256, 2048, (32, 256, 1024)),
+])
+@pytest.mark.parametrize("fmt", ["nvfp4", "mxfp4"])
+def test_fused_gemm_weight_cache_vs_oracle(m, n, k, blocks, fmt):
+    """Weight-cache kernel variant (decode once per weight block, grid
+    (nn, nm, nk)) matches the oracle like the plain kernel."""
+    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
+    bm, bn, bk = blocks
+    if (bk // 4 // (16 if fmt == "nvfp4" else 32)) % 8 != 0:
+        bk *= 2
+    sid = SolutionId(bm, bn, bk, element_b=eb, weight_cache=True)
+    assert SolutionId.from_repr(sid.repr()) == sid  # wc bit round-trips
+    a, qw, scales, gs, words, st = make_case(m, n, k, fmt, seed=m + n + k)
+    c = fused.fused_mul(
+        jnp.asarray(a, jnp.bfloat16), jnp.asarray(words), jnp.asarray(st),
+        jnp.float32(gs), sid=sid, interpret=True)
+    assert c.shape == (m, n)
+    check(c, a, qw, scales, gs, fmt)
+
+
+def test_weight_cache_matches_plain_kernel_bitexact():
+    """Same inputs through both kernel structures -> identical bits."""
+    m, n, k = 48, 256, 1024
+    a, qw, scales, gs, words, st = make_case(m, n, k, "nvfp4", seed=7)
+    plain = fused.fused_mul(
+        jnp.asarray(a, jnp.bfloat16), jnp.asarray(words), jnp.asarray(st),
+        jnp.float32(gs), sid=SolutionId(16, 128, 512), interpret=True)
+    wc = fused.fused_mul(
+        jnp.asarray(a, jnp.bfloat16), jnp.asarray(words), jnp.asarray(st),
+        jnp.float32(gs), sid=SolutionId(16, 128, 512, weight_cache=True),
+        interpret=True)
+    assert np.array_equal(np.asarray(plain, np.float32),
+                          np.asarray(wc, np.float32))

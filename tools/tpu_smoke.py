@@ -1,4 +1,8 @@
-"""Smoke test + first perf numbers on the real TPU chip."""
+"""Smoke test on the real TPU chip: correctness vs oracle per block shape.
+
+NOTE: the timing printed here is naive dispatch timing and NOT trustworthy
+over the axon relay (see utils/benchlib.py) — use bench.py or
+tools/tpu_bench.py for honest numbers; this script is for correctness."""
 import time
 import numpy as np
 import jax
