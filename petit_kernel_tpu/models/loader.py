@@ -99,17 +99,65 @@ def _make_quantized_layer(tensors: dict, prefix: str, fmt: str) -> dict:
     return llama.quantize_linear(w.T, fmt)
 
 
+def _cache_file(path: str, fmt: str) -> str:
+    return os.path.join(path, "petit_tpu_cache", f"{fmt}.npz")
+
+
+def _load_repack_cache(path: str, fmt: str):
+    """Return {(layer, name): {words, scales, gs}} from the repack cache if
+    it is newer than every safetensors shard, else None."""
+    cache = _cache_file(path, fmt)
+    if not os.path.exists(cache):
+        return None
+    src = max((os.path.getmtime(os.path.join(path, f))
+               for f in os.listdir(path) if f.endswith(".safetensors")),
+              default=0.0)
+    if os.path.getmtime(cache) < src:
+        return None
+    raw = np.load(cache)
+    out: dict = {}
+    for key in raw.files:
+        li, name, part = key.split("/")
+        out.setdefault((int(li), name), {})[part] = raw[key]
+    return out
+
+
+def _save_repack_cache(path: str, fmt: str, layers: list) -> None:
+    """Best-effort: persist every quantized linear so reloads skip the
+    repack (the reference recommends the same one-shot-offline flow,
+    README.md:31; a 70B repack is minutes of host work)."""
+    arrays = {}
+    for li, lp in enumerate(layers):
+        for name, val in lp.items():
+            if isinstance(val, dict) and "words" in val:
+                arrays[f"{li}/{name}/words"] = np.asarray(val["words"])
+                # npz can't store bfloat16 natively: keep the bit pattern
+                arrays[f"{li}/{name}/scales"] = np.asarray(
+                    val["scales"]).view(np.uint16)
+                arrays[f"{li}/{name}/gs"] = np.asarray(val["gs"])
+    try:
+        os.makedirs(os.path.dirname(_cache_file(path, fmt)), exist_ok=True)
+        np.savez(_cache_file(path, fmt), **arrays)
+    except OSError:
+        pass  # read-only checkpoint dir: skip caching
+
+
 def load_llama(path: str, fmt: str = "nvfp4",
-               cfg: Optional[llama.LlamaConfig] = None):
+               cfg: Optional[llama.LlamaConfig] = None,
+               use_cache: bool = True):
     """Load an HF Llama checkpoint directory -> (cfg, params).
 
     fmt: "nvfp4" / "mxfp4" (quantize or repack projections) or "bf16"
     (dense). Pre-quantized ModelOpt NVFP4 checkpoints are repacked directly.
+    Repacked layouts are cached under <path>/petit_tpu_cache/ and reused
+    when newer than the safetensors shards.
     """
     if cfg is None:
         with open(os.path.join(path, "config.json")) as f:
             cfg = config_from_hf(json.load(f))
     tensors = _open_all_tensors(path)
+    cached = (_load_repack_cache(path, fmt)
+              if use_cache and fmt != "bf16" else None)
 
     def dense(key, transpose=True):
         w = _to_f32(tensors[key])
@@ -142,7 +190,16 @@ def load_llama(path: str, fmt: str = "nvfp4",
             prefix = pre + hf_name
             if fmt == "bf16":
                 lp[ours] = dense(prefix + ".weight")
+            elif cached is not None:
+                import ml_dtypes
+                c = cached[(i, ours)]
+                lp[ours] = {"words": jnp.asarray(c["words"]),
+                            "scales": jnp.asarray(
+                                c["scales"].view(ml_dtypes.bfloat16)),
+                            "gs": jnp.float32(c["gs"])}
             else:
                 lp[ours] = _make_quantized_layer(tensors, prefix, fmt)
         params["layers"].append(lp)
+    if use_cache and fmt != "bf16" and cached is None:
+        _save_repack_cache(path, fmt, params["layers"])
     return cfg, params

@@ -45,20 +45,33 @@ def table_path(kind: str | None = None) -> str:
 def candidate_solutions(m: int, n: int, k: int,
                         element_b: ElementB = ElementB.NVFP4,
                         mfma_type: MatmulType = MatmulType.BF16,
-                        max_candidates: int = 24) -> list[SolutionId]:
-    """Pruned candidate set: snug block_m choices, mid-to-large n/k blocks."""
-    sols = solution_mod.get_solutions(m, n, k, element_b, mfma_type)
-    m_cover = max(16, 1 << (max(m - 1, 1)).bit_length())
-    good_bm = {min(m_cover, 512), min(2 * m_cover, 512), 16}
+                        max_candidates: int = 8) -> list[SolutionId]:
+    """Pruned candidate set: the heuristic default plus its block-shape
+    neighbors (each Pallas config costs a ~30 s Mosaic compile, so the sweep
+    is a local search around the default rather than the reference's cheap
+    full enumeration, main.cc:269-325)."""
+    base = solution_mod.choose_default_solution(m, n, k, element_b, mfma_type)
+    cands: list[SolutionId] = [base]
 
-    def score(s: SolutionId):
-        # prefer snug m, larger streaming blocks
-        return (s.block_m not in good_bm, abs(s.block_m - m_cover),
-                -(s.block_n * s.block_k))
+    def add(bm, bn, bk, wc=False):
+        try:
+            s = SolutionId(bm, bn, bk, element_b, mfma_type,
+                           weight_cache=wc)
+        except AssertionError:
+            return
+        if s not in cands and solution_mod.is_feasible(s, m, n, k):
+            cands.append(s)
 
-    sols = [s for s in sols if s.block_m in good_bm] or sols
-    sols.sort(key=score)
-    return sols[:max_candidates]
+    bm, bn, bk = base.block_m, base.block_n, base.block_k
+    for bn2 in (bn * 2, bn // 2, bn * 4):
+        add(bm, bn2, bk)
+    for bk2 in (bk * 2, bk // 2):
+        add(bm, bn, bk2)
+    for bm2 in (bm * 2, bm // 2):
+        add(bm2, bn, bk)
+    add(bm, bn, bk, wc=True)       # measured: rarely wins, cheap to check
+    add(bm, bn * 2, bk * 2)
+    return cands[:max_candidates]
 
 
 def time_solution(sid: SolutionId, a, b, s, gs, *, n1=10, reps=3) -> float:

@@ -110,9 +110,11 @@ def _padded_k(k: int, group_size: int = 16) -> int:
     from . import layout
     return layout.padded_k(k, layout.pad_multiple(group_size))
 
-# Per-step VMEM budget (bytes) used by the feasibility filter. Conservative
-# default for ~16 MiB/core VMEM with double buffering headroom.
-VMEM_BUDGET = 10 * 1024 * 1024
+# Per-step VMEM budget (bytes) used by the feasibility filter. Calibrated
+# empirically: blocks up to (16, 8192, 1024) (w 4 MB x2 + scales 8 MB +
+# temporaries) compile and run on v5e, so the budget is set to admit them;
+# Mosaic streams decode temporaries rather than materializing full quarters.
+VMEM_BUDGET = 26 * 1024 * 1024
 
 
 def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
@@ -125,7 +127,7 @@ def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
     s = kp // sid.group_size * bn * 2
     acc = bm * bn * 4                 # f32 accumulator scratch
     out = bm * bn * 2
-    deq = 2 * (bk // 4) * bn * 4      # decode temporaries (f32-ish)
+    deq = (bk // 4) * bn * 2          # decode temporaries (streamed, bf16)
     cache = kp * bn * 2 if sid.weight_cache else 0
     return 2 * (a + w + s) + acc + out + deq + cache
 

@@ -106,3 +106,26 @@ def test_tied_embeddings(tmp_path):
     st_numpy.save_file(t, os.path.join(tmp_path, "model.safetensors"))
     cfg, params = loader.load_llama(str(tmp_path), fmt="bf16")
     assert params["lm_head"]["w"].shape == (cfg.hidden_size, cfg.vocab_size)
+
+
+def test_repack_cache_roundtrip(tmp_path):
+    """Second load must come from petit_tpu_cache/ and be identical."""
+    rng = np.random.default_rng(5)
+    _write_dense_ckpt(tmp_path, rng)
+    cfg, p1 = loader.load_llama(str(tmp_path), fmt="nvfp4")
+    cache = loader._cache_file(str(tmp_path), "nvfp4")
+    assert os.path.exists(cache)
+    assert loader._load_repack_cache(str(tmp_path), "nvfp4") is not None
+    _, p2 = loader.load_llama(str(tmp_path), fmt="nvfp4")
+    for i in range(cfg.num_layers):
+        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            a, b = p1["layers"][i][name], p2["layers"][i][name]
+            assert np.array_equal(np.asarray(a["words"]),
+                                  np.asarray(b["words"]))
+            assert np.array_equal(
+                np.asarray(a["scales"]).view(np.uint16),
+                np.asarray(b["scales"]).view(np.uint16))
+            assert float(a["gs"]) == float(b["gs"])
+    # stale cache (older than a touched shard) is ignored
+    os.utime(os.path.join(tmp_path, "model.safetensors"))
+    assert loader._load_repack_cache(str(tmp_path), "nvfp4") is None
