@@ -67,7 +67,8 @@ def decode_quarter(words: jax.Array, j: int) -> jax.Array:
     sgn = (x << np.uint32(12)) & _SGN_MASK
     # nz = 0 per half iff q == 1 (the stored-zero code): magq^0x40 is 0 only
     # then, and +0x1C0 carries into bit 9 for every other q (max q<<6 is
-    # 0x1C0, so the add never crosses into the next half).
+    # 0x1C0, so the add never crosses into the next half). The mask multiply
+    # must be by a scalar constant (SWAR: flag x flag would cross halves).
     z = magq ^ np.uint32(0x00400040)
     nz = ((z + np.uint32(0x01C001C0)) >> np.uint32(9)) & np.uint32(0x00010001)
     bits = ((magq + _NRM_BIAS) | sgn) & (nz * np.uint32(0xFFFF))
