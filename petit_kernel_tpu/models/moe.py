@@ -64,17 +64,21 @@ def _expert_mul(x, layer: dict, e: int, fmt: str, interpret: bool):
                m, n, k, -1, interpret=interpret)
 
 
-def moe_mlp(x: jax.Array, router_w: jax.Array, experts: dict,
-            moe_cfg: MoEConfig, *, fmt: str = "mxfp4",
-            interpret: bool = False) -> jax.Array:
-    """SwiGLU MoE block. x: (T, H) flattened tokens -> (T, H).
-
-    experts: {"w_gate": stacked, "w_up": stacked, "w_down": stacked}.
-    Top-k routing with per-expert capacity buckets; overflow tokens drop
-    (standard capacity-factor semantics).
+def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
+                    moe_cfg: MoEConfig, *, expert_base: int = 0,
+                    num_local: int | None = None, fmt: str = "mxfp4",
+                    interpret: bool = False) -> jax.Array:
+    """Contributions of experts [expert_base, expert_base + num_local) to
+    the SwiGLU MoE block, in f32: the expert-parallel building block
+    (parallel/ep.py psums these across the "ep" axis). Routing is computed
+    over ALL experts (router_w replicated); `experts` holds only the local
+    stack, indexed 0..num_local-1. expert_base may be a traced scalar (the
+    shard index under shard_map).
     """
     T, H = x.shape
     E, topk = moe_cfg.num_experts, moe_cfg.top_k
+    if num_local is None:
+        num_local = E
     cap = int(np.ceil(T * topk / E * moe_cfg.capacity_factor))
     cap = max(8, -(-cap // 8) * 8)
 
@@ -87,8 +91,8 @@ def moe_mlp(x: jax.Array, router_w: jax.Array, experts: dict,
     flat_w = gate_w.reshape(-1)
     flat_tok = jnp.repeat(jnp.arange(T), topk)
 
-    for e in range(E):
-        sel = flat_idx == e                                  # (T*topk,)
+    for e in range(num_local):
+        sel = flat_idx == expert_base + e                    # (T*topk,)
         # stable order of selected slots, capacity-truncated
         order = jnp.argsort(~sel)                            # selected first
         slots = order[:cap]
@@ -103,6 +107,20 @@ def moe_mlp(x: jax.Array, router_w: jax.Array, experts: dict,
         contrib = (y.astype(jnp.float32)
                    * (flat_w[slots] * valid)[:, None])
         out = out.at[toks].add(contrib)
+    return out
+
+
+def moe_mlp(x: jax.Array, router_w: jax.Array, experts: dict,
+            moe_cfg: MoEConfig, *, fmt: str = "mxfp4",
+            interpret: bool = False) -> jax.Array:
+    """SwiGLU MoE block. x: (T, H) flattened tokens -> (T, H).
+
+    experts: {"w_gate": stacked, "w_up": stacked, "w_down": stacked}.
+    Top-k routing with per-expert capacity buckets; overflow tokens drop
+    (standard capacity-factor semantics).
+    """
+    out = moe_mlp_partial(x, router_w, experts, moe_cfg, fmt=fmt,
+                          interpret=interpret)
     return out.astype(x.dtype)
 
 

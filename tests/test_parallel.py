@@ -121,3 +121,71 @@ def test_dense_param_sharding_train_step():
         loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params_sh, tokens)
         jax.block_until_ready(loss)
     assert np.isfinite(float(loss))
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """EP-sharded MoE block == single-device MoE block (8 experts / 4-way
+    ep x 2-way dp-unused mesh on the virtual CPU devices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from petit_kernel_tpu.models import moe
+    from petit_kernel_tpu.parallel import ep as ep_mod
+
+    rng = np.random.default_rng(3)
+    T, H, F, E = 16, 128, 256, 8
+    mcfg = moe.MoEConfig(num_experts=E, top_k=2, capacity_factor=2.0)
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    router_w = jnp.asarray(rng.standard_normal((H, E)) * 0.1, jnp.float32)
+    experts = {
+        "w_gate": moe.quantize_moe_linear(
+            rng.standard_normal((E, H, F)) / 8, "mxfp4"),
+        "w_up": moe.quantize_moe_linear(
+            rng.standard_normal((E, H, F)) / 8, "mxfp4"),
+        "w_down": moe.quantize_moe_linear(
+            rng.standard_normal((E, F, H)) / 8, "mxfp4"),
+    }
+    want = moe.moe_mlp(x, router_w, experts, mcfg, fmt="mxfp4",
+                       interpret=True)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "ep"))
+    placed, router = ep_mod.place_experts_ep(experts, router_w, mesh)
+    fwd = ep_mod.make_moe_mlp_ep(mcfg, mesh, fmt="mxfp4", interpret=True)
+    got = fwd(x, router, placed)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("fmt", ["bf16", "nvfp4"])
+def test_pipeline_parallel_matches_single_device(fmt):
+    """GPipe pp=4 forward == unsharded llama.forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from petit_kernel_tpu.models import llama
+    from petit_kernel_tpu.parallel import pp as pp_mod
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+        max_seq_len=32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    if fmt == "nvfp4":
+        params = llama.quantize_params(params, "nvfp4")
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (4, 8), 0,
+                                cfg.vocab_size)
+    want, _ = llama.forward(params, tokens, cfg, fmt=fmt, interpret=True)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "pp"))
+    params_pp = pp_mod.place_params_pp(params, mesh)
+    fwd = pp_mod.make_pp_forward(cfg, mesh, n_micro=2, fmt=fmt,
+                                 interpret=True)
+    got = fwd(params_pp, tokens)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
