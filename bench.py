@@ -128,6 +128,7 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
                                 bytes_hint=dense_bytes)
         tflops = 2 * m * n * k / t_fp4 / 1e12
         results.append(dict(m=m, n=n, k=k, t_fp4=t_fp4, t_dense=t_dense,
+                            group=group,
                             tflops=tflops, speedup=t_dense / t_fp4))
     return results
 
@@ -154,7 +155,8 @@ def main():
 
     if args.verbose:
         for r in results:
-            wgb = (r["n"] * r["k"] / 2 + r["n"] * r["k"] / 8) / 1e9
+            wgb = (r["n"] * r["k"] / 2
+                   + r["n"] * r["k"] / r["group"] * 2) / 1e9
             print(f"# m={r['m']:4d} n={r['n']:6d} k={r['k']:6d} "
                   f"fp4={r['t_fp4'] * 1e6:9.1f}us dense={r['t_dense'] * 1e6:9.1f}us "
                   f"{r['tflops']:7.2f} TFLOP/s "

@@ -62,15 +62,16 @@ def repack_mxfp4(qweights, size_n: int, size_k: int):
 
 
 def process_nvfp4_scales(scales, size_n: int, size_k: int):
-    """E4M3 scales (n, k/16) -> opaque uint8 (k/16, n); validates the
-    positive-scale invariant."""
+    """E4M3 scales (n, k/16) -> opaque bfloat16 (k/16, n), decoded exactly
+    offline; validates the positive-scale invariant."""
     return jnp.asarray(_layout.process_fp4_scales(
         np.asarray(scales), size_n, size_k,
         group_size=_formats.NVFP4_GROUP_SIZE))
 
 
 def process_mxfp4_scales(scales, size_n: int, size_k: int):
-    """E8M0 scales (n, k/32) -> opaque uint8 (k/32, n)."""
+    """E8M0 scales (n, k/32) -> opaque bfloat16 (k/32, n), decoded exactly
+    offline (byte 0, 2^-127, becomes exact 0.0)."""
     return jnp.asarray(_layout.process_fp4_scales(
         np.asarray(scales), size_n, size_k,
         group_size=_formats.MXFP4_GROUP_SIZE))

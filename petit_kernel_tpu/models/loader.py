@@ -114,12 +114,15 @@ def _load_repack_cache(path: str, fmt: str):
               default=0.0)
     if os.path.getmtime(cache) < src:
         return None
-    raw = np.load(cache)
-    out: dict = {}
-    for key in raw.files:
-        li, name, part = key.split("/")
-        out.setdefault((int(li), name), {})[part] = raw[key]
-    return out
+    try:
+        raw = np.load(cache)
+        out: dict = {}
+        for key in raw.files:
+            li, name, part = key.split("/")
+            out.setdefault((int(li), name), {})[part] = raw[key]
+        return out
+    except Exception:
+        return None  # corrupt/partial cache: fall back to a fresh repack
 
 
 def _save_repack_cache(path: str, fmt: str, layers: list) -> None:
@@ -136,8 +139,12 @@ def _save_repack_cache(path: str, fmt: str, layers: list) -> None:
                     val["scales"]).view(np.uint16)
                 arrays[f"{li}/{name}/gs"] = np.asarray(val["gs"])
     try:
-        os.makedirs(os.path.dirname(_cache_file(path, fmt)), exist_ok=True)
-        np.savez(_cache_file(path, fmt), **arrays)
+        target = _cache_file(path, fmt)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = target + ".tmp"
+        np.savez(tmp, **arrays)
+        # np.savez appends .npz when the name lacks it
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", target)
     except OSError:
         pass  # read-only checkpoint dir: skip caching
 
@@ -190,7 +197,7 @@ def load_llama(path: str, fmt: str = "nvfp4",
             prefix = pre + hf_name
             if fmt == "bf16":
                 lp[ours] = dense(prefix + ".weight")
-            elif cached is not None:
+            elif cached is not None and (i, ours) in cached:
                 import ml_dtypes
                 c = cached[(i, ours)]
                 lp[ours] = {"words": jnp.asarray(c["words"]),

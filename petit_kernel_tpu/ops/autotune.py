@@ -99,22 +99,22 @@ def tune_shape(m: int, n: int, k: int,
                max_candidates: int = 24) -> SolutionId:
     """Tune one shape on the current device; returns the fastest SolutionId
     and (by default) records it in the in-memory dispatch table."""
+    from . import layout as layout_mod
+    from ..numerics import formats as _formats
+
     rng = np.random.default_rng(1234)
     group = 16 if element_b == ElementB.NVFP4 else 32
+    kp = layout_mod.padded_k(k, layout_mod.pad_multiple(group))
     a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-    b = jnp.asarray(rng.integers(0, 2 ** 32, size=(k // 8, n),
+    # fabricate buffers at the repack-PADDED k (what fused_mul requires);
+    # any random word is safe in the q-coded layout (both zero codes decode
+    # to 0 via the kernel's q==1 mask)
+    b = jnp.asarray(rng.integers(0, 2 ** 32, size=(kp // 8, n),
                                  dtype=np.uint64).astype(np.uint32))
-    # strip negative-zero nibbles to respect the kernel invariant
-    bn = np.asarray(b)
-    for shift in range(0, 32, 4):
-        nib = (bn >> shift) & 0xF
-        bn = np.where(nib == 8, bn & ~np.uint32(0xF << shift), bn)
-    b = jnp.asarray(bn)
-    from ..numerics import formats as _formats
-    s_raw = (((rng.integers(4, 11, size=(k // group, n), dtype=np.uint8) << 3)
-              | rng.integers(0, 8, size=(k // group, n), dtype=np.uint8))
+    s_raw = (((rng.integers(4, 11, size=(kp // group, n), dtype=np.uint8) << 3)
+              | rng.integers(0, 8, size=(kp // group, n), dtype=np.uint8))
              if element_b == ElementB.NVFP4 else
-             rng.integers(110, 140, size=(k // group, n), dtype=np.uint8))
+             rng.integers(110, 140, size=(kp // group, n), dtype=np.uint8))
     dec = (_formats.e4m3_decode(s_raw) if element_b == ElementB.NVFP4
            else _formats.e8m0_decode(s_raw))
     s = jnp.asarray(dec, jnp.bfloat16)

@@ -217,14 +217,18 @@ def choose_default_solution(m: int, n: int, k: int,
         else:
             bn = 512
     else:
-        # Prefill/compute-bound: snug power-of-two m block capped at 512
-        # (fewer m-blocks = fewer redundant weight decodes; measured on v5e:
-        # m=512 bm 256->512 is 623->537 us), fat (1024, 1024) n/k tiles
-        # (537->454 us). The weight_cache kernel variant was measured and
-        # does NOT pay here (its VMEM cache write/read cancels the decode
-        # savings: 2105 vs 2169 us at m=2048) — it stays available to the
-        # autotuner only.
-        bm = min(512, 1 << (m - 1).bit_length())
+        # Prefill/compute-bound: snug m block capped at 512 (fewer m-blocks
+        # = fewer redundant weight decodes; measured on v5e: m=512 bm
+        # 256->512 is 623->537 us), fat (1024, 1024) n/k tiles (537->454
+        # us). For ragged m the block is sized to the m-block count rather
+        # than a power of two — m=566 with bm=512 pads to 1024 (45% wasted
+        # MXU rows, measured 0.49x of dense); bm=288 pads to 576. The
+        # weight_cache kernel variant was measured and does NOT pay here
+        # (its VMEM cache write/read cancels the decode savings: 2105 vs
+        # 2169 us at m=2048) — it stays available to the autotuner only.
+        nm = -(-m // 512)                       # m-block count
+        per_block = -(-m // nm)                 # rows per block, snug
+        bm = -(-per_block // BLOCK_M_UNIT) * BLOCK_M_UNIT
         bk = best_bk(1024)
         for bn in (1024, 512, 256, 128):
             if n % bn == 0 and is_feasible(

@@ -18,17 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map as _shard_map_fn  # jax >= 0.8
-    _CHECK_KW = "check_vma"
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map_fn
-    _CHECK_KW = "check_rep"
-
-
-def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-    return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, **{_CHECK_KW: check_rep})
+from ._compat import shard_map
 
 from ..models import moe as moe_mod
 

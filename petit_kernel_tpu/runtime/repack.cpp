@@ -60,7 +60,8 @@ void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
 }
 
 // bf16 bit pattern of an E4M3 byte (positive, non-NaN; exact: 3 mantissa
-// bits) or of an E8M0 byte (2^(b-127); byte 0 -> the bf16 subnormal 0x0040).
+// bits) or of an E8M0 byte (2^(b-127); byte 0 -> exact 0.0 by contract,
+// matching ops/layout.py process_fp4_scales).
 inline uint16_t e4m3_to_bf16(uint8_t b) {
   const uint16_t m = b & 7, e = (b >> 3) & 0xF;
   if (e != 0) return static_cast<uint16_t>(((e + 120) << 7) | (m << 4));

@@ -53,7 +53,8 @@ def marginal_time(make_loop, n1=50, n2=350, reps=4):
 
     run(f1)  # compile + warm
     run(f2)
-    run(f1)  # discard first timed-shape call
+    run(f1)  # discard first post-compile call (anomalously fast) ...
+    run(f2)  # ... for BOTH loop lengths
     tas = [run(f1) for _ in range(reps)]
     tbs = [run(f2) for _ in range(reps)]
     return max((min(tbs) - min(tas)) / (n2 - n1), 1e-9)
