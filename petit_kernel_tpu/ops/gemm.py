@@ -90,10 +90,11 @@ def _validate_and_prepare(a, b, s, m, n, k, group: int):
         raise ValueError(
             f"s must be bfloat16 processed scales (process_*_scales "
             f"output), got {s.dtype}")
-    if s.shape != (kp // group, n):
+    if s.shape != (kp // 16, n):
         raise ValueError(
-            f"s must be processed scales (k_padded/{group}, n) = "
-            f"{(kp // group, n)}, got {s.shape}")
+            f"s must be processed scales (k_padded/16, n) = "
+            f"{(kp // 16, n)}, got {s.shape} (stride-16 rows for both "
+            "formats; MXFP4 rows are duplicated by process_mxfp4_scales)")
     if k % 128 != 0:
         raise ValueError(f"k = {k} must be a multiple of 128")
     return a, b.view(jnp.uint32) if b.dtype == jnp.int32 else b, s

@@ -96,40 +96,37 @@ def decode_scales_e8m0(s_u8: jax.Array) -> jax.Array:
     return pltpu.bitcast(s_u8.astype(jnp.int32) << 23, jnp.float32)
 
 
-def _chunk_scale_slab(sc: jax.Array, chunk: int, group: int) -> jax.Array:
-    """(srows, C) step-quarter scales -> the (128, C) broadcast slab for one
-    128-row chunk.
+def _chunk_scale_slab(sc: jax.Array, chunk: int) -> jax.Array:
+    """(srows, C) stride-16 step-quarter scales -> the (128, C) broadcast
+    slab for one 128-row chunk.
 
     Thanks to the pi-interleave in the weight layout (ops/layout.py), chunk
-    rows cycle through their 8/gpc scale groups with period 8, so the
+    rows cycle through their 8 stride-16 scale rows with period 8, so the
     broadcast is a pltpu.repeat tile copy — no sublane element-broadcast
     relayout, no one-hot expand matmul, no big f32->bf16 cast (those cost
-    ~35% of kernel time in earlier designs)."""
-    gpc = 128 // group              # scale groups per 128-row chunk
-    slab = sc[chunk * gpc:(chunk + 1) * gpc]
-    if gpc < 8:                     # MXFP4: pattern is [g0 g0 g1 g1 ...]
-        slab = jnp.repeat(slab, 8 // gpc, axis=0)  # tiny array
+    ~35% of kernel time in earlier designs). MXFP4's 32-wide groups are
+    pre-duplicated to stride 16 offline (a 4->8 row interleave here was a
+    measured Mosaic relayout costing ~2x kernel time)."""
+    slab = sc[chunk * 8:(chunk + 1) * 8]
     return pltpu.repeat(slab, 16, axis=0)          # (128, C)
 
 
-def _apply_scales(deq: jax.Array, sc: jax.Array, rows_per_group: int,
+def _apply_scales(deq: jax.Array, sc: jax.Array,
                   out_dtype=jnp.bfloat16) -> jax.Array:
-    """Multiply pi-interleaved (R, C) decoded values by their scales
-    ((R/group, C), R % 128 == 0). Used by the standalone dequant kernel;
-    the fused kernel fuses this per chunk into its dot loop."""
+    """Multiply pi-interleaved (R, C) decoded values by their stride-16
+    scales ((R/16, C), R % 128 == 0). Used by the standalone dequant
+    kernel; the fused kernel fuses this per chunk into its dot loop."""
     r, c = deq.shape
     sc = sc.astype(out_dtype)
-    group = rows_per_group
     parts = []
     for ch in range(r // 128):
-        sb = _chunk_scale_slab(sc, ch, group)
+        sb = _chunk_scale_slab(sc, ch)
         parts.append(deq[ch * 128:(ch + 1) * 128] * sb)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
-                  out_ref, acc_ref, *, nk: int, group: int, srows: int,
-                  high_precision: bool):
+def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
+                  out_ref, acc_ref, *, nk: int, high_precision: bool):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -137,12 +134,13 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     a_refs = (a0, a1, a2, a3)
+    s_refs = (s0, s1, s2, s3)
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
-        # scales arrive bf16 (decoded offline) and stay fully k-resident in
-        # VMEM (tiny: k/group rows); slice this quarter+step's rows
-        # (8-aligned dynamic sublane slice).
-        sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+        # scales arrive bf16 (decoded offline) as four per-quarter blocked
+        # inputs, streamed like the weights (k-resident scales OOM scoped
+        # VMEM at large k x wide bn: 2 x 7.3 MB at k=28672, bn=4096)
+        sc = s_refs[j][:]
         if high_precision:
             sc = sc.astype(jnp.float32)
         a = a_refs[j][:]
@@ -157,7 +155,7 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
         # copy by construction (pi-interleaved layout)
         for ch in range(deq.shape[0] // 128):
             b = (deq[ch * 128:(ch + 1) * 128]
-                 * _chunk_scale_slab(sc, ch, group))
+                 * _chunk_scale_slab(sc, ch))
             a_ch = a[:, ch * 128:(ch + 1) * 128]
             if high_precision:
                 acc_ref[:] += jnp.dot(a_ch, b,
@@ -172,9 +170,9 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
         out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
 
 
-def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
-                     out_ref, acc_ref, bc_ref, *, nk: int, group: int,
-                     srows: int, high_precision: bool):
+def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
+                     out_ref, acc_ref, bc_ref, *, nk: int,
+                     high_precision: bool):
     """Weight-cache variant: grid (nn, nm, nk). At the first m-block of each
     n-block, decode+scale this k-step's weights into the k-resident VMEM
     cache bc_ref (4, kp/4, bn); every m-block's dots read the cache — the
@@ -187,14 +185,16 @@ def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s_ref, gs_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    s_refs = (s0, s1, s2, s3)
+
     @pl.when(i == 0)
     def _decode():
         for j in range(4):
             deq = decode_quarter(w_ref[:], j)
-            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            sc = s_refs[j][:]
             for ch in range(deq.shape[0] // 128):
                 b = (deq[ch * 128:(ch + 1) * 128]
-                     * _chunk_scale_slab(sc, ch, group))
+                     * _chunk_scale_slab(sc, ch))
                 # kk indexes the cache's LEADING dim only (pure offset; a
                 # dynamic mid-dim slice would cost a Mosaic copy per access)
                 bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = b
@@ -230,7 +230,7 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 
     a        : (m, k) bf16 (f32 when sid.high_precision)
     words    : (k/8, n) uint32 petit-tpu q-coded layout (ops/layout.py)
-    scales_t : (k/group, n) bfloat16 scales decoded offline
+    scales_t : (k/16, n) bfloat16 stride-16 scales decoded offline
     global_scale : () or (1,) f32
 
     m and n are padded to block multiples here (n-padded columns get ZERO
@@ -246,7 +246,8 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     group = sid.group_size
     kp = kw * 8           # repack-padded k (layout.K_PAD / K_PAD_MX)
     assert kp >= k and kp - k < (512 if group == 16 else 1024), (kp, k)
-    assert scales_t.shape == (kp // group, n)
+    # processed scales are stride-16 rows for BOTH formats (layout doc)
+    assert scales_t.shape == (kp // 16, n)
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
     assert kp % bk == 0, (kp, bk)
     assert bk % 512 == 0, bk  # Mosaic: A quarter block last dim % 128
@@ -267,8 +268,8 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 
     nm, nn, nk = m_pad // bm, n_pad // bn, kp // bk
     kb4 = bk // 4         # per-step rows per quarter
-    srows = kb4 // group  # scale rows per quarter per step
-    sg = kp // group      # total scale rows (fully VMEM-resident per block)
+    srows = kb4 // 16     # stride-16 scale rows per quarter per step
+
 
     if sid.weight_cache:
         # grid (nn, nm, nk): for each n-block, the first m-block's pass
@@ -277,36 +278,42 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         def a_map(j):
             return lambda nn_, i, kk_, j=j: (i, j * nk + kk_)
 
+        def s_map(j):
+            return lambda nn_, i, kk_, j=j: (j * nk + kk_, nn_)
+
         grid = (nn, nm, nk)
         w_map = lambda nn_, i, kk_: (kk_, nn_)
-        s_map = lambda nn_, i, kk_: (0, nn_)
         gs_map = lambda nn_, i, kk_: (0, 0)
         out_map = lambda nn_, i, kk_: (i, nn_)
         scratch = [pltpu.VMEM((bm, bn), jnp.float32),
                    pltpu.VMEM((nk, 4, kb4, bn), jnp.bfloat16)]
         kernel = functools.partial(
-            _fused_kernel_wc, nk=nk, group=group, srows=srows,
+            _fused_kernel_wc, nk=nk,
             high_precision=sid.high_precision)
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
         def a_map(j):
             return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
 
+        def s_map(j):
+            return lambda i, nn_, kk_, j=j: (j * nk + kk_, nn_)
+
         grid = (nm, nn, nk)
         w_map = lambda i, nn_, kk_: (kk_, nn_)
-        s_map = lambda i, nn_, kk_: (0, nn_)
         gs_map = lambda i, nn_, kk_: (0, 0)
         out_map = lambda i, nn_, kk_: (i, nn_)
         scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
         kernel = functools.partial(
-            _fused_kernel, nk=nk, group=group, srows=srows,
+            _fused_kernel, nk=nk,
             high_precision=sid.high_precision)
         semantics = ("parallel", "parallel", "arbitrary")
 
     a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
                for j in range(4)]
     w_spec = pl.BlockSpec((bk // 8, bn), w_map, memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((sg, bn), s_map, memory_space=pltpu.VMEM)
+    # scales streamed per quarter+step like the weights (srows rows each)
+    s_specs = [pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
+               for j in range(4)]
     gs_spec = pl.BlockSpec((1, 1), gs_map, memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((bm, bn), out_map, memory_space=pltpu.VMEM)
 
@@ -323,7 +330,7 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[*a_specs, w_spec, s_spec, gs_spec],
+        in_specs=[*a_specs, w_spec, *s_specs, gs_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         scratch_shapes=scratch,
@@ -333,7 +340,7 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
-    )(a, a, a, a, words, scales_t, gs)
+    )(a, a, a, a, words, scales_t, scales_t, scales_t, scales_t, gs)
     return out[:m, :n]
 
 
@@ -343,13 +350,11 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 # (quantization_utils.cu:306-727).
 # ---------------------------------------------------------------------------
 
-def _dequant_kernel(w_ref, s_ref, out_ref, *, group: int, srows: int,
-                    nk: int):
-    kk = pl.program_id(0)
+def _dequant_kernel(w_ref, s0, s1, s2, s3, out_ref):
+    s_refs = (s0, s1, s2, s3)
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
-        sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
-        out_ref[j] = _apply_scales(deq, sc, group)
+        out_ref[j] = _apply_scales(deq, s_refs[j][:])
 
 
 @functools.partial(jax.jit, static_argnames=("element_b", "block_k",
@@ -362,27 +367,29 @@ def dequant_tpu_layout(words: jax.Array, scales_t: jax.Array, *,
     interpret = interpret or jax.default_backend() == "cpu"
     kw, n = words.shape
     k = kw * 8
-    group = 16 if element_b == ElementB.NVFP4 else 32
     bk = min(block_k, k)
     bn = min(block_n, n)
     assert k % bk == 0 and n % bn == 0 and bk % 512 == 0, (k, bk, n, bn)
     nk, nn = k // bk, n // bn
-    kb4, srows = bk // 4, bk // 4 // group
+    kb4, srows = bk // 4, bk // 4 // 16
+
+    def s_map(j):
+        return lambda kk_, nn_, j=j: (j * nk + kk_, nn_)
 
     out = pl.pallas_call(
-        functools.partial(_dequant_kernel, group=group, srows=srows, nk=nk),
+        functools.partial(_dequant_kernel),
         grid=(nk, nn),
         in_specs=[
             pl.BlockSpec((bk // 8, bn), lambda kk_, nn_: (kk_, nn_),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // group, bn), lambda kk_, nn_: (0, nn_),
-                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
+              for j in range(4)],
         ],
         out_specs=pl.BlockSpec((4, kb4, bn), lambda kk_, nn_: (0, kk_, nn_),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, k // 4, n), jnp.bfloat16),
         interpret=interpret,
-    )(words, scales_t)
+    )(words, scales_t, scales_t, scales_t, scales_t)
     # (4, k/4, n): quarter j holds k-range [j*k/4, (j+1)*k/4); un-permute
     # the pi-interleave within each 128-row chunk (natural[pi(i)] = row[i],
     # pi its own (16,8)/(8,16)-transpose inverse).

@@ -90,6 +90,9 @@ N_ALIGN = 16
 # groups (Mosaic dynamic sublane slices must be 8-aligned).
 K_PAD = 512
 K_PAD_MX = 1024
+# Processed scales are stored at one bf16 row per 16 k-elements for BOTH
+# formats (MXFP4's 32-wide groups are duplicated per half-group offline).
+SCALE_STRIDE = 16
 
 # v4 q-code magnitude remap (self-inverse: swaps E2M1 codes 0 and 1).
 # Applied per nibble at repack (sign bit untouched); see module doc.
@@ -201,7 +204,8 @@ def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarra
 
 def process_fp4_scales(scales, size_n: int, size_k: int, *,
                        group_size: int) -> np.ndarray:
-    """Checkpoint scales (n, k/group) -> k-major bfloat16 (k/group, n).
+    """Checkpoint scales (n, k/group) -> k-major bfloat16 (k/16, n)
+    (stride-16 rows for both formats; MXFP4 rows duplicated per half-group).
 
     Validates the positive-scale invariant the kernels rely on (ModelOpt/
     Quark checkpoints guarantee it; reference README.md:31) and decodes the
@@ -233,9 +237,17 @@ def process_fp4_scales(scales, size_n: int, size_k: int, *,
         # in-kernel bit-shift decode, which produced +0.0 for byte 0).
         dec = np.where(s == 0, np.float32(0), formats.e8m0_decode(s))
     out = np.ascontiguousarray(dec.T.astype(ml_dtypes.bfloat16))
+    if group_size == formats.MXFP4_GROUP_SIZE:
+        # duplicate each 32-wide group's scale per 16-element half so BOTH
+        # formats present one uniform (k/16, n) stride-16 buffer: the
+        # in-kernel slab broadcast is then a pure pltpu.repeat for MXFP4
+        # too (the 4->8 row interleave it replaces was a measured Mosaic
+        # relayout costing ~2x kernel time), at +3% HBM on a VPU-bound
+        # kernel. Also lifts the MXFP4 block_k % 1024 restriction.
+        out = np.repeat(out, 2, axis=0)
     kp = padded_k(size_k, pad_multiple(group_size))
     if kp != size_k:  # zero scales for the padded (all-zero-value) k region
-        pad = np.zeros(((kp - size_k) // group_size, size_n),
+        pad = np.zeros(((kp - size_k) // SCALE_STRIDE, size_n),
                        ml_dtypes.bfloat16)
         out = np.concatenate([out, pad], axis=0)
     return out
@@ -252,7 +264,7 @@ def dequant_from_tpu_layout(words: np.ndarray, scales_t: np.ndarray,
     """
     nib = unpack_fp4_weights(words, size_n, size_k)      # (n, size_k)
     vals = formats.fp4_decode(nib)                       # (n, size_k) f32
-    sgroups = size_k // group_size
-    sc = np.asarray(scales_t[:sgroups].T, dtype=np.float32)  # bf16 -> f32
-    deq = (vals.reshape(size_n, -1, group_size) * sc[:, :, None])
+    srows = size_k // SCALE_STRIDE  # stride-16 rows for both formats
+    sc = np.asarray(scales_t[:srows].T, dtype=np.float32)   # bf16 -> f32
+    deq = (vals.reshape(size_n, -1, SCALE_STRIDE) * sc[:, :, None])
     return deq.reshape(size_n, size_k).T                 # (size_k, n)

@@ -76,14 +76,15 @@ def repack_fp4_native(qw: np.ndarray, n: int, k: int):
 
 def process_scales_native(scales: np.ndarray, n: int, groups: int,
                           group: int = 16):
-    """Raw E4M3/E8M0 (n, groups) u8 -> bf16 (groups, n), or None if the
-    native lib is unavailable. Returned array dtype is ml_dtypes.bfloat16."""
+    """Raw E4M3/E8M0 (n, groups) u8 -> bf16 stride-16 rows (groups, n) for
+    E4M3 / (2*groups, n) for E8M0 (duplicated per half-group), or None if
+    the native lib is unavailable. Returned dtype is ml_dtypes.bfloat16."""
     import ml_dtypes
     lib = get_lib()
     if lib is None:
         return None
     s = np.ascontiguousarray(scales, dtype=np.uint8)
-    out = np.empty((groups, n), dtype=np.uint16)
+    out = np.empty((groups * (2 if group == 32 else 1), n), dtype=np.uint16)
     rc = lib.petit_tpu_process_scales(
         s.ctypes.data_as(ctypes.c_void_p), out.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(n), ctypes.c_int64(groups), ctypes.c_int(group))

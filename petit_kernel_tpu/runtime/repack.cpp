@@ -82,14 +82,19 @@ inline uint16_t e8m0_to_bf16(uint8_t b) {
 
 void transpose_scales(const uint8_t* src, uint16_t* dst, int64_t rows,
                       int64_t cols, int group, int64_t r0, int64_t r1) {
-  // src (rows, cols) u8 -> dst (cols, rows) bf16; parallel over src rows.
+  // src (rows, cols) u8 -> dst (cols * dup, rows) bf16; parallel over src
+  // rows. MXFP4 (group 32) duplicates each group's scale per 16-element
+  // half so the output is stride-16 rows like NVFP4 (ops/layout.py doc).
+  const int dup = (group == 32) ? 2 : 1;
   constexpr int64_t TB = 64;
   for (int64_t c0 = 0; c0 < cols; c0 += TB) {
     const int64_t c1 = std::min(c0 + TB, cols);
     for (int64_t r = r0; r < r1; ++r) {
       for (int64_t c = c0; c < c1; ++c) {
         const uint8_t b = src[r * cols + c];
-        dst[c * rows + r] = (group == 16) ? e4m3_to_bf16(b) : e8m0_to_bf16(b);
+        const uint16_t v =
+            (group == 16) ? e4m3_to_bf16(b) : e8m0_to_bf16(b);
+        for (int d = 0; d < dup; ++d) dst[(c * dup + d) * rows + r] = v;
       }
     }
   }
@@ -129,8 +134,8 @@ int petit_tpu_repack_fp4(const uint8_t* qw, uint32_t* out, int64_t n,
 }
 
 // scales: (n, k/group) uint8 raw E4M3 (group=16) / E8M0 (group=32) bytes ->
-// out (k/group, n) bf16 bits (decode + transpose). Validation of sign/NaN
-// bytes stays in Python.
+// out (k/16, n) bf16 bits (decode + transpose; MXFP4 rows duplicated per
+// half-group). Validation of sign/NaN bytes stays in Python.
 int petit_tpu_process_scales(const uint8_t* scales, uint16_t* out, int64_t n,
                              int64_t groups, int group) {
   if (n <= 0 || groups <= 0 || (group != 16 && group != 32)) return 1;

@@ -68,8 +68,9 @@ def test_dequant_from_tpu_layout_matches_native(fmt):
     words = layout.repack_fp4_weights(qw, n, k,
                                       pad_to=layout.pad_multiple(group))
     st = layout.process_fp4_scales(scales, n, k, group_size=group)
+    # stride-16 rows for both formats (MXFP4 duplicated per half-group)
     assert st.shape == (layout.padded_k(k, layout.pad_multiple(group))
-                        // group, n)
+                        // layout.SCALE_STRIDE, n)
     tiled = layout.dequant_from_tpu_layout(words, st, n, k, group_size=group)
     assert np.array_equal(tiled, native.T)  # bit-exact
 

@@ -35,11 +35,13 @@ def test_native_scale_decode_parity(lib):
     nat = runtime.process_scales_native(s, s.shape[0], s.shape[1], group=16)
     ref = formats.e4m3_decode(s).T.astype(ml_dtypes.bfloat16)
     assert np.array_equal(nat.view(np.uint16), ref.view(np.uint16))
-    # E8M0: every byte value 0..254 (byte 0 -> exact 0.0 by contract)
+    # E8M0: every byte value 0..254 (byte 0 -> exact 0.0 by contract);
+    # rows duplicated per 16-element half-group (stride-16 contract)
     s2 = np.arange(255, dtype=np.uint8).repeat(2).reshape(255, 2)
     nat2 = runtime.process_scales_native(s2, 255, 2, group=32)
-    ref2 = np.where(s2 == 0, np.float32(0),
-                    formats.e8m0_decode(s2)).T.astype(ml_dtypes.bfloat16)
+    ref2 = np.repeat(np.where(s2 == 0, np.float32(0),
+                              formats.e8m0_decode(s2)).T
+                     .astype(ml_dtypes.bfloat16), 2, axis=0)
     assert np.array_equal(nat2.view(np.uint16), ref2.view(np.uint16))
 
 

@@ -34,10 +34,10 @@ def test_feasibility_k_divisibility():
 
 
 def test_feasibility_group_minimum():
-    # MXFP4 needs >= 8 scale rows per k-quarter (Mosaic 8-aligned sublane
-    # slices): block_k % 1024; NVFP4 is fine at 512.
-    assert not S.is_feasible(SolutionId(16, 128, 512, ElementB.MXFP4),
-                             16, 128, 1024)
+    # stride-16 scale rows for both formats (MXFP4 duplicated offline):
+    # block_k 512 is feasible for MXFP4 too since the stride-16 change
+    assert S.is_feasible(SolutionId(16, 128, 512, ElementB.MXFP4),
+                         16, 128, 1024)
     assert S.is_feasible(SolutionId(16, 128, 1024, ElementB.MXFP4),
                          16, 128, 1024)
     assert S.is_feasible(SolutionId(16, 128, 512, ElementB.NVFP4),
