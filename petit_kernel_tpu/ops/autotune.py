@@ -117,6 +117,8 @@ def tune_shape(m: int, n: int, k: int,
              rng.integers(110, 140, size=(kp // group, n), dtype=np.uint8))
     dec = (_formats.e4m3_decode(s_raw) if element_b == ElementB.NVFP4
            else _formats.e8m0_decode(s_raw))
+    if element_b == ElementB.MXFP4:
+        dec = np.repeat(dec, 2, axis=0)  # stride-16 rows (layout contract)
     s = jnp.asarray(dec, jnp.bfloat16)
     gs = jnp.float32(1.0)
 
