@@ -67,8 +67,23 @@ class LlamaConfig:
 # Linear layers
 # ---------------------------------------------------------------------------
 
+# (block_nf, block_nd) preferences for fmt="hybrid", widest first; a layer
+# falls back to pure nvfp4 when no pair divides its n.
+_HYBRID_BLOCKS = ((1536, 512), (768, 256), (384, 128))
+
+
 def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
-    """Dense (k, n) f32/bf16 -> quantized FP4 layer dict."""
+    """Dense (k, n) f32/bf16 -> quantized FP4 layer dict. fmt="hybrid"
+    keeps the most salient columns dense bf16 (ops/hybrid.py), falling back
+    to nvfp4 for layers too narrow to split."""
+    if fmt == "hybrid":
+        from ..ops import hybrid as hybrid_mod
+        n = np.asarray(w_kn).shape[1]
+        for (bnf, bnd) in _HYBRID_BLOCKS:
+            if n % (bnf + bnd) == 0:
+                return hybrid_mod.quantize_hybrid(
+                    np.asarray(w_kn, np.float32), block_nf=bnf, block_nd=bnd)
+        fmt = "nvfp4"  # too narrow to split: pure FP4
     w = np.asarray(w_kn, np.float32).T  # (n, k): checkpoint orientation
     if fmt == "nvfp4":
         qw, scales, gs = ref_numerics.quantize_nvfp4(w)
@@ -93,15 +108,22 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
                        ).astype(x.dtype)
     m = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(m, k)
+    if "wd" in layer:  # hybrid FP4+BF16 layer (ops/hybrid.py)
+        from ..ops import hybrid as hybrid_mod
+        y = hybrid_mod.mul_hybrid(x2.astype(jnp.bfloat16), layer,
+                                  interpret=interpret).astype(x.dtype)
+        return y.reshape(*lead, y.shape[-1])
     n = layer["words"].shape[1]
+    # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
+    pure_fmt = "mxfp4" if fmt == "mxfp4" else "nvfp4"
     if interpret:
-        mul = (gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4"
+        mul = (gemm_mod.mul_nvfp4_a16 if pure_fmt == "nvfp4"
                else gemm_mod.mul_mxfp4_a16)
         y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n, k,
                 -1, interpret=True)
     else:
         # differentiable path (custom VJP): grads flow to activations
-        y = gemm_mod.mul_fp4_diff(fmt, k, x2, layer["words"],
+        y = gemm_mod.mul_fp4_diff(pure_fmt, k, x2, layer["words"],
                                   layer["scales"], layer["gs"])
     return y.reshape(*lead, n)
 

@@ -56,3 +56,30 @@ def test_hybrid_salient_columns_exact():
            @ w.astype(jnp.bfloat16).astype(np.float32))
     for col in big:  # salient columns: dense path, only bf16 rounding
         np.testing.assert_allclose(c[:, col], ref[:, col], rtol=2e-2)
+
+
+def test_llama_forward_hybrid_fmt():
+    """fmt="hybrid" end-to-end: wide layers split, narrow layers fall back
+    to pure nvfp4; forward stays close to the dense model."""
+    from petit_kernel_tpu.models import llama
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=512, intermediate_size=1024,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        max_seq_len=32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = llama.quantize_params(params, "hybrid")
+    # wide projections got the hybrid split, narrow ones fell back
+    l0 = qparams["layers"][0]
+    assert "wd" in l0["w_up"]          # n=1024: split
+    assert "wd" in l0["w_gate"]
+    assert "wd" not in l0["wk"]        # n=128: pure nvfp4 fallback
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0,
+                              cfg.vocab_size)
+    lq, _ = llama.forward(qparams, toks, cfg, fmt="hybrid", interpret=True)
+    ld, _ = llama.forward(params, toks, cfg)
+    lq = np.asarray(lq, np.float32)
+    ld = np.asarray(ld, np.float32)
+    assert np.isfinite(lq).all()
+    # quantization-noise band: logits track the dense model
+    assert np.abs(lq - ld).mean() < 0.5
