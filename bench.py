@@ -73,6 +73,8 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
     from petit_kernel_tpu.ops import autotune
     from petit_kernel_tpu.ops.solution import ElementB
 
+    if fmt == "hybrid":
+        return run_hybrid(cases, n1, n2)
     autotune.load_table()  # persisted per-device-kind table, if present
     group = 16 if fmt == "nvfp4" else 32
     eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
@@ -133,13 +135,54 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
     return results
 
 
+def run_hybrid(cases, n1, n2):
+    """Hybrid FP4+BF16 salient-column mode (ops/hybrid.py) vs dense."""
+    from petit_kernel_tpu.ops import hybrid as hybrid_mod
+
+    results = []
+    prev_nk = None
+    for (m, n, k) in cases:
+        if (n, k) != prev_nk:
+            prev_nk = (n, k)
+            rng = np.random.default_rng(n + k)
+            w = rng.standard_normal((k, n)).astype(np.float32) / 8
+            for (bnf, bnd) in ((1536, 512), (768, 256), (384, 128)):
+                if n % (bnf + bnd) == 0:
+                    break
+            else:
+                continue
+            hq = hybrid_mod.quantize_hybrid(w, block_nf=bnf, block_nd=bnd)
+            b_dense = jnp.asarray(w, jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+
+        def hyb_call(a2, words, scales, wd):
+            return hybrid_mod.mul_hybrid(
+                a2, {**hq, "words": words, "scales": scales, "wd": wd})
+
+        def dense_call(a2, bd):
+            return jnp.dot(a2, bd, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        nf, nd = hq["words"].shape[1], hq["wd"].shape[1]
+        hyb_bytes = nf * k * 0.5625 + nd * k * 2 + m * k * 2
+        t_h = marginal_time(hyb_call, a, hq["words"], hq["scales"],
+                            hq["wd"], n1=n1, n2=n2, bytes_hint=hyb_bytes)
+        t_dense = marginal_time(dense_call, a, b_dense, n1=n1, n2=n2,
+                                bytes_hint=k * n * 2)
+        results.append(dict(m=m, n=n, k=k, t_fp4=t_h, t_dense=t_dense,
+                            group=16, tflops=2 * m * n * k / t_h / 1e12,
+                            speedup=t_dense / t_h))
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--full", action="store_true", help="full shape sweep")
     p.add_argument("--tune", action="store_true", help="autotune each shape")
     p.add_argument("--trace", action="store_true",
                    help="production-trace suite (ragged m) instead")
-    p.add_argument("--format", choices=("nvfp4", "mxfp4"), default="nvfp4")
+    p.add_argument("--format", choices=("nvfp4", "mxfp4", "hybrid"),
+                   default="nvfp4")
     p.add_argument("--n1", type=int, default=20)
     p.add_argument("--n2", type=int, default=None)
     p.add_argument("--verbose", action="store_true")
