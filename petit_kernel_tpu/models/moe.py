@@ -55,15 +55,6 @@ def quantize_moe_linear(ws_kn: np.ndarray, fmt: str = "mxfp4") -> dict:
             "gs": jnp.asarray(np.stack(gss))}
 
 
-def _expert_mul(x, layer: dict, e: int, fmt: str, interpret: bool):
-    m, k = x.shape
-    n = layer["words"].shape[-1]
-    mul = (gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4"
-           else gemm_mod.mul_mxfp4_a16)
-    return mul(x, layer["words"][e], layer["scales"][e], layer["gs"][e],
-               m, n, k, -1, interpret=interpret)
-
-
 def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
                     moe_cfg: MoEConfig, *, expert_base: int = 0,
                     num_local: int | None = None, fmt: str = "mxfp4",
@@ -91,6 +82,9 @@ def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
     flat_w = gate_w.reshape(-1)
     flat_tok = jnp.repeat(jnp.arange(T), topk)
 
+    # gather each local expert's capacity bucket, then run all experts
+    # through ONE grouped fused kernel per projection (kernels/grouped.py)
+    xs, toks_l, wts_l = [], [], []
     for e in range(num_local):
         sel = flat_idx == expert_base + e                    # (T*topk,)
         # stable order of selected slots, capacity-truncated
@@ -98,15 +92,25 @@ def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
         slots = order[:cap]
         valid = sel[slots]
         toks = flat_tok[slots]
-        xe = x[toks] * valid[:, None].astype(x.dtype)        # (cap, H)
-        g = _expert_mul(xe, experts["w_gate"], e, fmt, interpret)
-        u = _expert_mul(xe, experts["w_up"], e, fmt, interpret)
-        h = (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-             * u)
-        y = _expert_mul(h, experts["w_down"], e, fmt, interpret)
-        contrib = (y.astype(jnp.float32)
-                   * (flat_w[slots] * valid)[:, None])
-        out = out.at[toks].add(contrib)
+        xs.append(x[toks] * valid[:, None].astype(x.dtype))  # (cap, H)
+        toks_l.append(toks)
+        wts_l.append(flat_w[slots] * valid)
+    xsg = jnp.stack(xs)                                      # (El, cap, H)
+
+    from ..ops.kernels import grouped as grouped_mod
+
+    def gmul(ys, layer):
+        return grouped_mod.grouped_mul(
+            ys, layer["words"], layer["scales"], layer["gs"],
+            interpret=interpret)
+
+    g = gmul(xsg, experts["w_gate"])
+    u = gmul(xsg, experts["w_up"])
+    h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    y = gmul(h, experts["w_down"])                           # (El, cap, H)
+    for e in range(num_local):
+        out = out.at[toks_l[e]].add(y[e].astype(jnp.float32)
+                                    * wts_l[e][:, None])
     return out
 
 

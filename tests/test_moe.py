@@ -81,3 +81,28 @@ def test_tiny_mixtral_forward():
     pq = jax.nn.log_softmax(lq, -1)
     kl = float(jnp.sum(jnp.exp(pd) * (pd - pq), -1).mean())
     assert kl < 0.1, kl
+
+
+def test_grouped_mul_matches_per_expert():
+    """grouped kernel == per-expert fused_mul calls, bit-for-bit."""
+    import jax.numpy as jnp
+    from petit_kernel_tpu.models import moe
+    from petit_kernel_tpu.ops.kernels import grouped, fused
+    from petit_kernel_tpu.ops.solution import SolutionId, ElementB
+
+    rng = np.random.default_rng(4)
+    E, cap, k, n = 4, 16, 512, 256
+    experts = moe.quantize_moe_linear(
+        rng.standard_normal((E, k, n)) / 8, "mxfp4")
+    xs = jnp.asarray(rng.standard_normal((E, cap, k)), jnp.bfloat16)
+    got = grouped.grouped_mul(xs, experts["words"], experts["scales"],
+                              experts["gs"], block_n=256, block_k=1024,
+                              interpret=True)
+    for e in range(E):
+        want = fused.fused_mul(
+            xs[e], experts["words"][e], experts["scales"][e],
+            experts["gs"][e],
+            sid=SolutionId(16, 256, 1024, element_b=ElementB.MXFP4),
+            interpret=True)
+        assert np.array_equal(np.asarray(got[e], np.float32),
+                              np.asarray(want, np.float32)), e
