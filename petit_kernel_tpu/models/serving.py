@@ -44,13 +44,23 @@ class Engine:
 
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
                  fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
-                 interpret: bool = False):
+                 interpret: bool = False, forward_fn=None, cache=None):
+        """forward_fn(params, tokens (B, T), cache, pos (B, T)) ->
+        (logits, new_cache) overrides the model forward — e.g.
+        parallel.tp.make_tp_step for tensor-parallel serving (pass the
+        matching sharded cache via `cache`, parallel.tp.init_cache_tp)."""
         self.params = params
         self.cfg = cfg
         self.B = max_batch
         self.fmt = fmt
         self.interpret = interpret
-        self.cache = llama.init_cache(cfg, max_batch, cache_dtype)
+        if forward_fn is None:
+            def forward_fn(p, toks, cache_, pos_):
+                return llama.forward(p, toks, cfg, cache_, pos_,
+                                     fmt=fmt, interpret=interpret)
+        self._forward = forward_fn
+        self.cache = (cache if cache is not None
+                      else llama.init_cache(cfg, max_batch, cache_dtype))
         self.pos = np.zeros(max_batch, np.int32)       # next position
         self.active = np.zeros(max_batch, bool)
         self.last_tok = np.zeros(max_batch, np.int32)
@@ -58,11 +68,10 @@ class Engine:
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def _decode_step(params, cache, toks, pos):
-            logits, cache = llama.forward(
-                params, toks[:, None], cfg, cache, pos[:, None],
-                fmt=fmt, interpret=interpret)
+            logits, cache = forward_fn(params, toks[:, None], cache,
+                                       pos[:, None])
             return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
         self._decode_step = _decode_step
@@ -83,10 +92,10 @@ class Engine:
         toks = jnp.asarray(req.tokens, jnp.int32)[None, :]
         pos = jnp.arange(T, dtype=jnp.int32)[None, :]
         # per-request prefill into this slot's cache rows
-        logits, layer_caches = llama.forward(
-            self.params, toks, self.cfg,
+        logits, layer_caches = self._forward(
+            self.params, toks,
             [(k[slot:slot + 1], v[slot:slot + 1]) for (k, v) in self.cache],
-            pos, fmt=self.fmt, interpret=self.interpret)
+            pos)
         for i, (k1, v1) in enumerate(layer_caches):
             k, v = self.cache[i]
             self.cache[i] = (k.at[slot:slot + 1].set(k1),

@@ -155,31 +155,7 @@ def quantize_params_tp(params: dict, cfg: llama.LlamaConfig, mesh: Mesh,
 # TP forward (device-local Megatron block under shard_map)
 # ---------------------------------------------------------------------------
 
-def _local_mul(x: jax.Array, layer: dict, fmt: str) -> jax.Array:
-    *lead, k = x.shape
-    m = int(np.prod(lead))
-    n = layer["words"].shape[1]
-    mul = (gemm_mod.mul_nvfp4_a16 if fmt == "nvfp4"
-           else gemm_mod.mul_mxfp4_a16)
-    y = mul(x.reshape(m, k), layer["words"], layer["scales"], layer["gs"],
-            m, n, k, -1)
-    return y.reshape(*lead, n)
-
-
-def make_tp_forward(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
-    """Build a jitted (qparams, tokens) -> logits TP+DP forward.
-
-    Inside shard_map each device runs the fused FP4 kernels on its weight
-    shard: attention heads and MLP hidden are column-sharded, wo/w_down are
-    row-sharded, one psum per block restores replicated activations — the
-    Megatron pattern with XLA collectives over ICI.
-    """
-    tp = mesh.shape["tp"]
-    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
-
-    def spec_for(path_leaf):
-        return path_leaf  # placeholder; specs built explicitly below
-
+def _params_spec(qparams):
     qspec_col = {"words": P(None, "tp"), "scales": P(None, "tp"), "gs": P()}
     qspec_row = {"words": P("tp", None), "scales": P("tp", None), "gs": P()}
     layer_spec = {
@@ -187,58 +163,98 @@ def make_tp_forward(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
         **{k: qspec_col for k in _COL_KEYS},
         **{k: qspec_row for k in _ROW_KEYS},
     }
+    return {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "lm_head": {"w": P(None, "tp")},
+        "layers": [layer_spec for _ in qparams["layers"]],
+    }
 
-    def params_spec(qparams):
-        return {
-            "embed": P(None, None),
-            "final_norm": P(None),
-            "lm_head": {"w": P(None, "tp")},
-            "layers": [layer_spec for _ in qparams["layers"]],
-        }
 
-    def local_forward(qparams, tokens):
-        B, T = tokens.shape
-        nq, nkv, d = cfg.num_heads // tp, cfg.num_kv_heads // tp, cfg.head_dim
-        x = qparams["embed"][tokens]
+# KV cache shards on the head axis, like the attention that produces it.
+_CACHE_SPEC = (P("dp", None, "tp", None), P("dp", None, "tp", None))
+
+
+def _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt):
+    """Device-local Megatron block: heads column-sharded, wo/down
+    row-sharded, one psum per block. Reuses llama.attention/mlp with a
+    per-shard head count, so the cached-decode path (continuous batching)
+    and the cacheless prefill path are the same code as single-device."""
+    import dataclasses as _dc
+
+    B, T = tokens.shape
+    cfg_l = _dc.replace(cfg, num_heads=cfg.num_heads // tp,
+                        num_kv_heads=cfg.num_kv_heads // tp)
+    x = qparams["embed"][tokens]
+    if pos is None:
         pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-        mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
-        for lp in qparams["layers"]:
-            h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-            q = _local_mul(h, lp["wq"], fmt).reshape(B, T, nq, d)
-            k = _local_mul(h, lp["wk"], fmt).reshape(B, T, nkv, d)
-            v = _local_mul(h, lp["wv"], fmt).reshape(B, T, nkv, d)
-            q = llama.rope(q, pos, cfg.rope_theta)
-            k = llama.rope(k, pos, cfg.rope_theta)
-            rep = nq // nkv
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-            qf = q.astype(jnp.float32) / np.sqrt(d)
-            logits = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
-            logits = jnp.where(mask, logits, -1e30)
-            p = jax.nn.softmax(logits, axis=-1)
-            o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32))
-            o = o.reshape(B, T, nq * d).astype(x.dtype)
-            a = _local_mul(o, lp["wo"], fmt)          # row-parallel partial
-            x = x + jax.lax.psum(a, "tp")
-            h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
-            g = _local_mul(h, lp["w_gate"], fmt)
-            u = _local_mul(h, lp["w_up"], fmt)
-            hh = (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u)
-            dn = _local_mul(hh, lp["w_down"], fmt)    # row-parallel partial
-            x = x + jax.lax.psum(dn, "tp")
-        x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
-        logits_local = jnp.dot(x, qparams["lm_head"]["w"],
-                               preferred_element_type=jnp.float32)
-        logits = jax.lax.all_gather(logits_local, "tp", axis=2, tiled=True)
-        return logits.astype(jnp.bfloat16)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    new_cache = []
+    for i, lp in enumerate(qparams["layers"]):
+        h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        a, c = llama.attention(h, lp, None if cache is None else cache[i],
+                               pos, cfg_l, mask, fmt=fmt, interpret=False)
+        new_cache.append(c)
+        x = x + jax.lax.psum(a, "tp")                 # row-parallel wo
+        h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        dn = llama.mlp(h, lp, fmt=fmt, interpret=False)
+        x = x + jax.lax.psum(dn, "tp")                # row-parallel w_down
+    x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
+    logits_local = jnp.dot(x, qparams["lm_head"]["w"],
+                           preferred_element_type=jnp.float32)
+    logits = jax.lax.all_gather(logits_local, "tp", axis=2, tiled=True)
+    return logits.astype(jnp.bfloat16), new_cache
+
+
+def make_tp_forward(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
+    """Jitted (qparams, tokens) -> logits TP+DP prefill-style forward."""
+    tp = mesh.shape["tp"]
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
+
+    def local(qparams, tokens):
+        logits, _ = _local_forward(qparams, tokens, None, None, cfg, tp, fmt)
+        return logits
 
     def fwd(qparams, tokens):
         fn = shard_map(
-            local_forward, mesh=mesh,
-            in_specs=(params_spec(qparams), P("dp", None)),
+            local, mesh=mesh,
+            in_specs=(_params_spec(qparams), P("dp", None)),
             out_specs=P("dp", None, None),
             check_rep=False,
         )
         return fn(qparams, tokens)
 
     return jax.jit(fwd)
+
+
+def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
+                  dtype=jnp.bfloat16):
+    """Per-layer (k, v) KV cache sharded on the head axis over "tp" and the
+    batch axis over "dp" (one engine batch per dp shard uses batch=local)."""
+    cache = llama.init_cache(cfg, batch, dtype)
+    return [tuple(jax.device_put(t, NamedSharding(mesh, s))
+                  for t, s in zip(layer, _CACHE_SPEC)) for layer in cache]
+
+
+def make_tp_step(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
+    """Jitted cached TP forward for serving: (qparams, tokens (B, T),
+    cache, pos (B, T)) -> (logits, new_cache). Drop-in forward_fn for
+    models.serving.Engine — tensor-parallel continuous batching."""
+    tp = mesh.shape["tp"]
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
+
+    def local(qparams, tokens, cache, pos):
+        return _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt)
+
+    def step(qparams, tokens, cache, pos):
+        cache_specs = [_CACHE_SPEC for _ in cache]
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(_params_spec(qparams), P("dp", None), cache_specs,
+                      P("dp", None)),
+            out_specs=(P("dp", None, None), cache_specs),
+            check_rep=False,
+        )
+        return fn(qparams, tokens, cache, pos)
+
+    return step

@@ -69,3 +69,34 @@ def test_engine_fp8_kv_cache(setup):
     # (prefill K/V quantization noise compounds later)
     ref = llama.greedy_decode(params, cfg, jnp.asarray(p)[None, :], 1)
     assert out[0][0] == int(np.asarray(ref)[0, 0])
+
+
+def test_engine_tensor_parallel_matches_single_device(setup):
+    """Engine over a (dp=1, tp=4) mesh via make_tp_step == plain engine:
+    tensor-parallel continuous batching (north-star configs 3/5)."""
+    from jax.sharding import Mesh
+    from petit_kernel_tpu import parallel as par
+    from petit_kernel_tpu.parallel import tp as tp_mod
+
+    cfg, params = setup
+    reqs = lambda: [serving.Request(uid=i, tokens=np.arange(3 + i) % 50,
+                                    max_new_tokens=6) for i in range(3)]
+    qparams = llama.quantize_params(params, "nvfp4")
+    eng = serving.Engine(qparams, cfg, max_batch=4, fmt="nvfp4",
+                         interpret=True)
+    want = eng.run(reqs())
+
+    # tiny cfg: wo's k (heads*head_dim = 256) shards to 128 at tp=2 (the
+    # kernel k-alignment floor); bigger models use tp=4/8
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "tp"))
+    qtp = par.quantize_params_tp(params, cfg, mesh, fmt="nvfp4")
+    step = tp_mod.make_tp_step(cfg, mesh, fmt="nvfp4")
+    cache = tp_mod.init_cache_tp(cfg, 4, mesh)
+    eng_tp = serving.Engine(qtp, cfg, max_batch=4, forward_fn=step,
+                            cache=cache)
+    got = eng_tp.run(reqs())
+    assert set(got) == set(want)
+    # greedy argmax chains can diverge after quantization-noise ties; demand
+    # agreement on the first tokens of every request
+    for uid in want:
+        assert got[uid][:2] == want[uid][:2], (uid, got[uid], want[uid])
