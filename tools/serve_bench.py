@@ -1,0 +1,138 @@
+"""End-to-end decode throughput on the real chip: tokens/s/chip.
+
+The north-star metric (BASELINE.json: "tokens/s/chip at 70B NVFP4 decode,
+%-of-roofline at bs 1-16"). A Llama-8B-class NVFP4 model decodes with the
+full model step (all projections through the fused kernels, KV cache
+updates, argmax sampling); steps are chained inside a jitted fori_loop
+carrying (cache, tokens, pos) so the relay's ~29 ms per-program latency
+does not contaminate the measurement (utils/benchlib protocol, marginal
+cost between two chain lengths).
+
+Roofline: a decode step must at minimum stream the FP4 weights once
+(batch<=16 is weight-bound); %-of-roofline = (weight_bytes / measured HBM
+ceiling) / step_time.
+
+Weights are fabricated directly in the quantized layout (random words and
+scales) — throughput is layout/shape-dependent, not value-dependent.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from petit_kernel_tpu.models import llama
+from petit_kernel_tpu.ops import layout as layout_mod
+
+HBM_GBPS = 750.0  # measured dense-GEMM ceiling on this v5e (docs/DESIGN.md)
+
+
+def fabricate_qlayer(rng, k, n):
+    kp = layout_mod.padded_k(k, layout_mod.K_PAD)
+    words = rng.integers(0, 2 ** 32, size=(kp // 8, n),
+                         dtype=np.uint64).astype(np.uint32)
+    sraw = ((rng.integers(4, 11, size=(kp // 16, n), dtype=np.uint8) << 3)
+            | rng.integers(0, 8, size=(kp // 16, n), dtype=np.uint8))
+    import ml_dtypes
+    from petit_kernel_tpu.numerics import formats
+    scales = formats.e4m3_decode(sraw).astype(ml_dtypes.bfloat16)
+    return {"words": jnp.asarray(words), "scales": jnp.asarray(scales),
+            "gs": jnp.float32(1.0 / 448.0)}
+
+
+def build_model(cfg, rng):
+    h, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    params = {
+        "embed": jnp.asarray(
+            rng.standard_normal((v, h)).astype(np.float32) / 50,
+            jnp.bfloat16),
+        "final_norm": jnp.ones((h,), jnp.bfloat16),
+        "layers": [],
+    }
+    params["lm_head"] = {"w": params["embed"].T}
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((h,), jnp.bfloat16),
+            "mlp_norm": jnp.ones((h,), jnp.bfloat16),
+            "wq": fabricate_qlayer(rng, h, nq),
+            "wk": fabricate_qlayer(rng, h, nkv),
+            "wv": fabricate_qlayer(rng, h, nkv),
+            "wo": fabricate_qlayer(rng, nq, h),
+            "w_gate": fabricate_qlayer(rng, h, f),
+            "w_up": fabricate_qlayer(rng, h, f),
+            "w_down": fabricate_qlayer(rng, f, h),
+        })
+    return params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bs", type=int, default=8)
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--seq", type=int, default=256)
+    p.add_argument("--n1", type=int, default=8)
+    p.add_argument("--n2", type=int, default=40)
+    args = p.parse_args()
+
+    cfg = llama.LlamaConfig.llama3_8b(max_seq_len=args.seq,
+                                      vocab_size=32768,
+                                      num_layers=args.layers)
+    rng = np.random.default_rng(0)
+    params = build_model(cfg, rng)
+    bs = args.bs
+    cache0 = llama.init_cache(cfg, bs)
+    toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, bs), jnp.int32)
+
+    # weight bytes streamed per decode step (FP4 words + bf16 scales)
+    wbytes = sum(lp[k]["words"].size * 4 + lp[k]["scales"].size * 2
+                 for lp in params["layers"]
+                 for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up",
+                           "w_down"))
+    wbytes += params["embed"].size * 2  # lm_head (tied) streams too
+
+    @jax.jit
+    def chain(n_steps, salt, params, cache, toks):
+        def body(i, carry):
+            cache, toks, acc = carry
+            pos = jnp.full((bs, 1), 16 + (i % 64), jnp.int32)  # steady state
+            t_in = (toks + salt.astype(jnp.int32) + i) % cfg.vocab_size
+            logits, cache = llama.forward(params, t_in[:, None], cfg, cache,
+                                          pos, fmt="nvfp4")
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return cache, nxt, acc + jnp.sum(nxt)
+        _, _, acc = jax.lax.fori_loop(0, n_steps, body,
+                                      (cache, toks0, jnp.int32(0)))
+        return acc
+
+    salt = [0]
+
+    def timed(n):
+        salt[0] += 1
+        t0 = time.perf_counter()
+        v = int(chain(n, jnp.float32(salt[0]), params, cache0, toks0))
+        return time.perf_counter() - t0
+
+    timed(args.n1)  # compile + warm
+    timed(args.n1)  # discard
+    tas = [timed(args.n1) for _ in range(3)]
+    tbs = [timed(args.n2) for _ in range(3)]
+    t_step = max((min(tbs) - min(tas)) / (args.n2 - args.n1), 1e-9)
+    roofline_t = wbytes / (HBM_GBPS * 1e9)
+    print(f"# model: {args.layers}L hidden={cfg.hidden_size} "
+          f"inter={cfg.intermediate_size} bs={bs} "
+          f"fp4+scales={wbytes / 1e9:.2f} GB")
+    print(f"# step={t_step * 1e3:.2f} ms  tokens/s/chip={bs / t_step:.1f}  "
+          f"weight-stream roofline={roofline_t * 1e3:.2f} ms "
+          f"({roofline_t / t_step:.1%} of roofline)")
+
+
+if __name__ == "__main__":
+    main()
