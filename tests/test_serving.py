@@ -1,6 +1,7 @@
 """Continuous-batching engine: correctness vs straight greedy_decode, slot
 reuse, FP8 KV cache (BASELINE.json config 5 components at test scale)."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,3 +101,32 @@ def test_engine_tensor_parallel_matches_single_device(setup):
     # agreement on the first tokens of every request
     for uid in want:
         assert got[uid][:2] == want[uid][:2], (uid, got[uid], want[uid])
+
+
+def test_serve_bench_chain_smoke():
+    """tools/serve_bench's fori_loop decode chain compiles and runs (tiny
+    config, CPU interpret) — guards the end-to-end throughput harness."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "serve_bench", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "serve_bench.py"))
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=1, num_heads=4, num_kv_heads=2, head_dim=64,
+        max_seq_len=128)
+    rng = np.random.default_rng(0)
+    params = sb.build_model(cfg, rng)
+    cache = llama.init_cache(cfg, 2)
+    toks = jnp.zeros((2,), jnp.int32)
+
+    def body(i, carry):
+        cache, toks = carry
+        pos = jnp.full((2, 1), 8 + i, jnp.int32)
+        logits, cache = llama.forward(params, toks[:, None], cfg, cache,
+                                      pos, fmt="nvfp4", interpret=True)
+        return cache, jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+    cache, toks = jax.lax.fori_loop(0, 3, body, (cache, toks))
+    assert np.isfinite(np.asarray(toks, np.float32)).all()
