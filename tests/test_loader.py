@@ -56,7 +56,7 @@ def test_load_dense_and_quantize(tmp_path):
     cfgb, dense = loader.load_llama(str(tmp_path), fmt="bf16")
     # loading-then-quantizing must equal quantizing the loaded dense params
     # (noise-free oracle; raw-dense comparison would measure FP4 noise)
-    qref = llama.quantize_params(dense, "nvfp4")
+    qref = llama.quantize_params(dense, "nvfp4", fuse=False)
     for i in range(cfg.num_layers):
         for name in ("wq", "wo", "w_down"):
             assert np.array_equal(

@@ -17,7 +17,9 @@ from petit_kernel_tpu.ops import layout
 def tiny_setup():
     cfg = llama.LlamaConfig.tiny()
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    qparams = llama.quantize_params(params, "nvfp4")
+    # fuse=False: these tests compare per-projection against dense oracles;
+    # the fused default is covered by test_fused_projections_match_unfused
+    qparams = llama.quantize_params(params, "nvfp4", fuse=False)
     return cfg, params, qparams
 
 
@@ -40,10 +42,30 @@ def _dequant_params(qparams, params):
 
 
 def test_quantized_layers_present(tiny_setup):
-    _, _, qparams = tiny_setup
+    _, params, qparams = tiny_setup
     lp = qparams["layers"][0]
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
         assert "words" in lp[name], name
+    # the fused default emits wqkv / w_gateup instead
+    fused = llama.quantize_params(params, "nvfp4")["layers"][0]
+    for name in ("wqkv", "w_gateup", "wo", "w_down"):
+        assert "words" in fused[name], name
+
+
+def test_fused_projections_match_unfused(tiny_setup):
+    """quantize_params(fuse=True) forward tracks the unfused forward within
+    quantization-noise tolerance (fusing shares one global scale across the
+    concatenated projections)."""
+    cfg, params, qparams = tiny_setup
+    fused = llama.quantize_params(params, "nvfp4")
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (1, 12), 0,
+                                cfg.vocab_size)
+    lu, _ = llama.forward(qparams, tokens, cfg, fmt="nvfp4", interpret=True)
+    lf, _ = llama.forward(fused, tokens, cfg, fmt="nvfp4", interpret=True)
+    lu = np.asarray(lu, np.float32)
+    lf = np.asarray(lf, np.float32)
+    assert np.isfinite(lf).all()
+    assert np.abs(lu - lf).mean() < 0.25, np.abs(lu - lf).mean()
 
 
 def test_fp4_forward_matches_dequant_oracle(tiny_setup):

@@ -82,7 +82,9 @@ def test_engine_tensor_parallel_matches_single_device(setup):
     cfg, params = setup
     reqs = lambda: [serving.Request(uid=i, tokens=np.arange(3 + i) % 50,
                                     max_new_tokens=6) for i in range(3)]
-    qparams = llama.quantize_params(params, "nvfp4")
+    # fuse=False: the TP path quantizes projections separately, so the
+    # single-device reference must too for token-level agreement
+    qparams = llama.quantize_params(params, "nvfp4", fuse=False)
     eng = serving.Engine(qparams, cfg, max_batch=4, fmt="nvfp4",
                          interpret=True)
     want = eng.run(reqs())

@@ -62,12 +62,10 @@ def build_model(cfg, rng):
         params["layers"].append({
             "attn_norm": jnp.ones((h,), jnp.bfloat16),
             "mlp_norm": jnp.ones((h,), jnp.bfloat16),
-            "wq": fabricate_qlayer(rng, h, nq),
-            "wk": fabricate_qlayer(rng, h, nkv),
-            "wv": fabricate_qlayer(rng, h, nkv),
+            # fused projections (llama.quantize_params fuse=True layout)
+            "wqkv": fabricate_qlayer(rng, h, nq + 2 * nkv),
             "wo": fabricate_qlayer(rng, nq, h),
-            "w_gate": fabricate_qlayer(rng, h, f),
-            "w_up": fabricate_qlayer(rng, h, f),
+            "w_gateup": fabricate_qlayer(rng, h, 2 * f),
             "w_down": fabricate_qlayer(rng, f, h),
         })
     return params
@@ -94,8 +92,7 @@ def main():
     # weight bytes streamed per decode step (FP4 words + bf16 scales)
     wbytes = sum(lp[k]["words"].size * 4 + lp[k]["scales"].size * 2
                  for lp in params["layers"]
-                 for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up",
-                           "w_down"))
+                 for k in ("wqkv", "wo", "w_gateup", "w_down"))
     wbytes += params["embed"].size * 2  # lm_head (tied) streams too
 
     @jax.jit
