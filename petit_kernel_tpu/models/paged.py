@@ -1,0 +1,168 @@
+"""Paged KV cache: fixed-size pages + per-sequence block tables.
+
+Serving-memory parity with vLLM-style engines (beyond the reference, which
+has no serving layer): instead of one contiguous (B, max_seq, h, d) cache
+per layer — whose HBM is reserved at max_seq for every slot — KV lives in
+a shared pool of pages allocated on demand as sequences grow, so ragged
+batches only pay for what they use.
+
+TPU-static-shape design: the device side is pure fixed-shape
+gather/scatter — a (B, max_pages) block table indexes the page pool; the
+decode step dynamic-update-slices one (h, d) row into the right
+(page, offset) and attention gathers each sequence's pages into a
+(max_pages * page_size, h, d) view masked by position. The page allocator
+(free list, per-slot page counts) is plain host Python in the engine loop,
+exactly like slot scheduling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import llama
+
+
+@dataclasses.dataclass
+class PagedKVCache:
+    """Host handle: per-layer page pools + block tables + allocator state."""
+    pages: List[Tuple[jax.Array, jax.Array]]   # per layer (k, v):
+    #   (num_pages, page_size, n_kv, d)
+    block_tables: jax.Array                     # (B, max_pages) int32
+    page_size: int
+    num_pages: int
+    free: list                                  # host free-page list
+    used: list                                  # per-slot list of page ids
+
+    @property
+    def max_pages(self) -> int:
+        return int(self.block_tables.shape[1])
+
+
+def init_paged_cache(cfg: llama.LlamaConfig, batch: int, *,
+                     page_size: int = 16, num_pages: int | None = None,
+                     dtype=jnp.bfloat16) -> PagedKVCache:
+    if num_pages is None:  # enough for every slot at max_seq_len
+        num_pages = batch * (cfg.max_seq_len // page_size)
+    max_pages = cfg.max_seq_len // page_size
+    shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    pages = [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+             for _ in range(cfg.num_layers)]
+    return PagedKVCache(
+        pages=pages,
+        block_tables=jnp.zeros((batch, max_pages), jnp.int32),
+        page_size=page_size, num_pages=num_pages,
+        free=list(range(num_pages - 1, -1, -1)),
+        used=[[] for _ in range(batch)])
+
+
+def ensure_capacity(cache: PagedKVCache, slot: int, upto_pos: int) -> None:
+    """Host-side allocator: grow slot's block table to cover position
+    upto_pos (exclusive). Raises when the pool is exhausted."""
+    need = -(-(upto_pos) // cache.page_size)
+    bt = cache.block_tables
+    while len(cache.used[slot]) < need:
+        if not cache.free:
+            raise RuntimeError("paged KV pool exhausted")
+        page = cache.free.pop()
+        bt = bt.at[slot, len(cache.used[slot])].set(page)
+        cache.used[slot].append(page)
+    cache.block_tables = bt
+
+
+def release_slot(cache: PagedKVCache, slot: int) -> None:
+    cache.free.extend(reversed(cache.used[slot]))
+    cache.used[slot] = []
+
+
+def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size):
+    """Scatter one step's k/v (B, T, h, d) into the pools at positions
+    pos (B, T) using block-table rows bt_rows (B, max_pages)."""
+    k_pages, v_pages = pages_kv
+    B, T = pos.shape
+
+    def write_one(pages, new):
+        def per_seq(pages, bt_row, vals, ps):
+            def per_t(pages, t):
+                page = bt_row[ps[t] // page_size]
+                off = ps[t] % page_size
+                return jax.lax.dynamic_update_slice(
+                    pages, vals[t][None, None],
+                    (page, off, jnp.int32(0), jnp.int32(0)))
+            for t in range(T):
+                pages = per_t(pages, t)
+            return pages
+        for b in range(B):
+            pages = per_seq(pages, bt_rows[b], new[b].astype(pages.dtype),
+                            pos[b])
+        return pages
+
+    return write_one(k_pages, new_k), write_one(v_pages, new_v)
+
+
+def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
+                    page_size, interpret):
+    """llama.attention with the KV in pages. Returns (out, new_pages)."""
+    B, T, H = x.shape
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    lin = lambda inp, layer: llama.linear(inp, layer, fmt=fmt,
+                                          interpret=interpret)
+    if "wqkv" in lp:
+        qkv = lin(x, lp["wqkv"])
+        s0, s1 = nq * d, (nq + nkv) * d
+        q, k, v = qkv[..., :s0], qkv[..., s0:s1], qkv[..., s1:]
+        q = q.reshape(B, T, nq, d)
+        k = k.reshape(B, T, nkv, d)
+        v = v.reshape(B, T, nkv, d)
+    else:
+        q = lin(x, lp["wq"]).reshape(B, T, nq, d)
+        k = lin(x, lp["wk"]).reshape(B, T, nkv, d)
+        v = lin(x, lp["wv"]).reshape(B, T, nkv, d)
+    q = llama.rope(q, pos, cfg.rope_theta)
+    k = llama.rope(k, pos, cfg.rope_theta)
+
+    new_pages = _write_kv(pages_kv, bt_rows, k, v, pos, page_size)
+    k_pages, v_pages = new_pages
+    # gather each sequence's pages -> (B, S_view, nkv, d)
+    k_all = k_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
+    v_all = v_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
+    S = k_all.shape[1]
+    kv_pos = jnp.arange(S)[None, :]
+    attn_mask = (kv_pos <= pos[:, -1:])[:, None, None, :]
+
+    rep = nq // nkv
+    k_all = jnp.repeat(k_all, rep, axis=2)
+    v_all = jnp.repeat(v_all, rep, axis=2)
+    qf = q.astype(jnp.float32) / np.sqrt(d)
+    logits = jnp.einsum("bthd,bshd->bhts", qf, k_all.astype(jnp.float32))
+    logits = jnp.where(attn_mask, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", p, v_all.astype(jnp.float32))
+    o = o.reshape(B, T, nq * d).astype(x.dtype)
+    return lin(o, lp["wo"]), new_pages
+
+
+def forward_paged(params, tokens, cfg: llama.LlamaConfig, pages, bt, pos, *,
+                  page_size: int, fmt: str = "nvfp4",
+                  interpret: bool = False):
+    """llama.forward with paged KV: (logits, new_pages). `pages` is the
+    per-layer list, `bt` the (B, max_pages) block table (pre-grown via
+    ensure_capacity), pos (B, T) absolute positions."""
+    B, T = tokens.shape
+    x = params["embed"][tokens]
+    new_pages = []
+    for i, lp in enumerate(params["layers"]):
+        h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        a, np_i = attention_paged(h, lp, pages[i], bt, pos, cfg, fmt=fmt,
+                                  page_size=page_size, interpret=interpret)
+        new_pages.append(np_i)
+        x = x + a
+        h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+        x = x + llama.mlp(h, lp, fmt=fmt, interpret=interpret)
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama.linear(x, params["lm_head"], fmt=fmt, interpret=interpret)
+    return logits, new_pages
