@@ -29,18 +29,29 @@ from . import llama
 
 @dataclasses.dataclass
 class PagedKVCache:
-    """Host handle: per-layer page pools + block tables + allocator state."""
+    """Host handle: per-layer page pools + block tables + allocator state.
+
+    The pool holds ``num_pages`` allocatable pages plus one extra physical
+    *scratch* page (index ``num_pages``). Block tables of slots with no
+    allocation point at the scratch page, so a batched decode step that
+    includes stale/inactive slots scribbles only into scratch — never into
+    a page that was released and re-allocated to another sequence.
+    """
     pages: List[Tuple[jax.Array, jax.Array]]   # per layer (k, v):
-    #   (num_pages, page_size, n_kv, d)
+    #   (num_pages + 1, page_size, n_kv, d)
     block_tables: jax.Array                     # (B, max_pages) int32
     page_size: int
-    num_pages: int
+    num_pages: int                              # allocatable (excl. scratch)
     free: list                                  # host free-page list
     used: list                                  # per-slot list of page ids
 
     @property
     def max_pages(self) -> int:
         return int(self.block_tables.shape[1])
+
+    @property
+    def scratch_page(self) -> int:
+        return self.num_pages
 
 
 def init_paged_cache(cfg: llama.LlamaConfig, batch: int, *,
@@ -49,12 +60,12 @@ def init_paged_cache(cfg: llama.LlamaConfig, batch: int, *,
     if num_pages is None:  # enough for every slot at max_seq_len
         num_pages = batch * (cfg.max_seq_len // page_size)
     max_pages = cfg.max_seq_len // page_size
-    shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    shape = (num_pages + 1, page_size, cfg.num_kv_heads, cfg.head_dim)
     pages = [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
              for _ in range(cfg.num_layers)]
     return PagedKVCache(
         pages=pages,
-        block_tables=jnp.zeros((batch, max_pages), jnp.int32),
+        block_tables=jnp.full((batch, max_pages), num_pages, jnp.int32),
         page_size=page_size, num_pages=num_pages,
         free=list(range(num_pages - 1, -1, -1)),
         used=[[] for _ in range(batch)])
@@ -75,31 +86,32 @@ def ensure_capacity(cache: PagedKVCache, slot: int, upto_pos: int) -> None:
 
 
 def release_slot(cache: PagedKVCache, slot: int) -> None:
+    """Return a slot's pages to the pool and point its block table back at
+    the scratch page (stale decode writes must not hit reusable pages)."""
     cache.free.extend(reversed(cache.used[slot]))
     cache.used[slot] = []
+    cache.block_tables = cache.block_tables.at[slot].set(cache.scratch_page)
 
 
 def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size):
     """Scatter one step's k/v (B, T, h, d) into the pools at positions
-    pos (B, T) using block-table rows bt_rows (B, max_pages)."""
+    pos (B, T) using block-table rows bt_rows (B, max_pages).
+
+    One flat scatter per pool (not a dynamic_update_slice per token): the
+    (page, offset) pair is a single row index into the pool viewed as
+    (num_pages * page_size, h, d), so XLA emits one vectorized scatter.
+    """
     k_pages, v_pages = pages_kv
     B, T = pos.shape
+    page_idx = jnp.take_along_axis(bt_rows, pos // page_size, axis=1)
+    flat_idx = (page_idx * page_size + pos % page_size).reshape(-1)
 
     def write_one(pages, new):
-        def per_seq(pages, bt_row, vals, ps):
-            def per_t(pages, t):
-                page = bt_row[ps[t] // page_size]
-                off = ps[t] % page_size
-                return jax.lax.dynamic_update_slice(
-                    pages, vals[t][None, None],
-                    (page, off, jnp.int32(0), jnp.int32(0)))
-            for t in range(T):
-                pages = per_t(pages, t)
-            return pages
-        for b in range(B):
-            pages = per_seq(pages, bt_rows[b], new[b].astype(pages.dtype),
-                            pos[b])
-        return pages
+        P, ps, h, d = pages.shape
+        flat = pages.reshape(P * ps, h, d)
+        flat = flat.at[flat_idx].set(
+            new.reshape(B * T, h, d).astype(pages.dtype))
+        return flat.reshape(P, ps, h, d)
 
     return write_one(k_pages, new_k), write_one(v_pages, new_v)
 

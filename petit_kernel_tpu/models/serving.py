@@ -89,8 +89,21 @@ class Engine:
         slot = int(free[0])
         T = len(req.tokens)
         assert T + req.max_new_tokens <= self.cfg.max_seq_len
-        toks = jnp.asarray(req.tokens, jnp.int32)[None, :]
-        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        first = self._prefill(slot, req.tokens)
+        self.pos[slot] = T
+        self.active[slot] = True
+        self.last_tok[slot] = first
+        self.slot_req[slot] = req
+        self.generated[req.uid] = [first]
+        return slot
+
+    # -- cache backend hooks (overridden by PagedEngine) ---------------------
+
+    def _prefill(self, slot: int, tokens) -> int:
+        """Run prefill for one request in `slot`; returns the first
+        generated token id."""
+        toks = jnp.asarray(tokens, jnp.int32)[None, :]
+        pos = jnp.arange(len(tokens), dtype=jnp.int32)[None, :]
         # per-request prefill into this slot's cache rows
         logits, layer_caches = self._forward(
             self.params, toks,
@@ -100,19 +113,26 @@ class Engine:
             k, v = self.cache[i]
             self.cache[i] = (k.at[slot:slot + 1].set(k1),
                              v.at[slot:slot + 1].set(v1))
-        first = int(jnp.argmax(logits[0, -1]))
-        self.pos[slot] = T
-        self.active[slot] = True
-        self.last_tok[slot] = first
-        self.slot_req[slot] = req
-        self.generated[req.uid] = [first]
-        return slot
+        return int(jnp.argmax(logits[0, -1]))
+
+    def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
+        """One batched decode step; returns next-token ids (B,)."""
+        nxt, self.cache = self._decode_step(self.params, self.cache, toks,
+                                            pos)
+        return nxt
+
+    def _release(self, slot: int) -> None:
+        """Free per-slot cache resources (no-op for the contiguous cache:
+        prefill of the next occupant overwrites the rows)."""
+
+    # ------------------------------------------------------------------------
 
     def _finish(self, slot: int):
         req = self.slot_req[slot]
         self.finished[req.uid] = self.generated.pop(req.uid)
         self.active[slot] = False
         self.slot_req[slot] = None
+        self._release(slot)
 
     def step(self) -> int:
         """One decode tick over all active slots; returns #active."""
@@ -120,9 +140,7 @@ class Engine:
             return 0
         toks = jnp.asarray(self.last_tok)
         pos = jnp.asarray(self.pos)
-        nxt, self.cache = self._decode_step(self.params, self.cache, toks,
-                                            pos)
-        nxt = np.asarray(nxt)
+        nxt = np.asarray(self._decode(toks, pos))
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]
             self.generated[req.uid].append(int(nxt[slot]))
@@ -144,3 +162,71 @@ class Engine:
                 self.add_request(pending.pop(0))
             self.step()
         return dict(self.finished)
+
+
+class PagedEngine(Engine):
+    """Engine with a paged KV cache (vLLM-style block tables): KV pages are
+    allocated on demand as sequences grow and returned to the shared pool
+    when a request finishes, so HBM holds sum-of-actual-lengths instead of
+    max_batch * max_seq_len. Scheduling is inherited from Engine; only the
+    cache backend differs (models/paged.py)."""
+
+    def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
+                 fmt: str = "nvfp4", page_size: int = 16,
+                 num_pages: Optional[int] = None, cache_dtype=jnp.bfloat16,
+                 interpret: bool = False):
+        from . import paged  # local import: keeps serving importable alone
+        self._paged = paged
+        self.params = params
+        self.cfg = cfg
+        self.B = max_batch
+        self.fmt = fmt
+        self.interpret = interpret
+        self.pc = paged.init_paged_cache(
+            cfg, max_batch, page_size=page_size, num_pages=num_pages,
+            dtype=cache_dtype)
+        self.pos = np.zeros(max_batch, np.int32)
+        self.active = np.zeros(max_batch, bool)
+        self.last_tok = np.zeros(max_batch, np.int32)
+        self.slot_req: list[Optional[Request]] = [None] * max_batch
+        self.generated: dict[int, list[int]] = {}
+        self.finished: dict[int, list[int]] = {}
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _decode_step(params, pages, bt, toks, pos):
+            logits, pages = paged.forward_paged(
+                params, toks[:, None], cfg, pages, bt, pos[:, None],
+                page_size=page_size, fmt=fmt, interpret=interpret)
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), pages
+
+        self._decode_step = _decode_step
+
+    def _prefill(self, slot: int, tokens) -> int:
+        T = len(tokens)
+        self._paged.ensure_capacity(self.pc, slot, T)
+        toks = jnp.asarray(tokens, jnp.int32)[None, :]
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        logits, self.pc.pages = self._paged.forward_paged(
+            self.params, toks, self.cfg, self.pc.pages,
+            self.pc.block_tables[slot:slot + 1], pos,
+            page_size=self.pc.page_size, fmt=self.fmt,
+            interpret=self.interpret)
+        return int(jnp.argmax(logits[0, -1]))
+
+    def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
+        # grow block tables so this tick's write position is covered;
+        # inactive slots stay parked on the scratch page at position 0
+        for slot in np.flatnonzero(self.active):
+            self._paged.ensure_capacity(self.pc, slot,
+                                        int(self.pos[slot]) + 1)
+        nxt, self.pc.pages = self._decode_step(
+            self.params, self.pc.pages, self.pc.block_tables, toks, pos)
+        return nxt
+
+    def _release(self, slot: int) -> None:
+        self._paged.release_slot(self.pc, slot)
+        self.pos[slot] = 0
+        self.last_tok[slot] = 0
+
+    def pages_in_use(self) -> int:
+        return sum(len(u) for u in self.pc.used)

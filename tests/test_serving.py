@@ -105,6 +105,43 @@ def test_engine_tensor_parallel_matches_single_device(setup):
         assert got[uid][:2] == want[uid][:2], (uid, got[uid], want[uid])
 
 
+def test_paged_engine_matches_engine(setup):
+    """PagedEngine (block-table KV pool) serves the same tokens as the
+    contiguous-cache Engine, releases pages when requests finish, and
+    survives slot reuse (freed pages re-allocated to a queued request)."""
+    cfg, params = setup
+    prompts = [
+        np.array([5, 9, 42, 7], np.int32),
+        np.array([100, 3], np.int32),
+        np.array([1, 2, 3, 4, 5, 6], np.int32),
+    ]
+    reqs = lambda: [serving.Request(uid=i, tokens=p, max_new_tokens=5)
+                    for i, p in enumerate(prompts)]
+    want = serving.Engine(params, cfg, max_batch=2).run(reqs())
+    # max_batch=2 forces queueing -> request 2 reuses released pages
+    eng = serving.PagedEngine(params, cfg, max_batch=2, page_size=8)
+    got = eng.run(reqs())
+    assert got == want
+    assert eng.pages_in_use() == 0
+    assert len(eng.pc.free) == eng.pc.num_pages
+
+
+def test_paged_engine_pool_bound(setup):
+    """The pool really bounds memory: a too-small pool raises on exhaustion,
+    a sum-of-lengths-sized pool (far below max_batch*max_seq_len) serves."""
+    cfg, params = setup
+    p = np.arange(8, dtype=np.int32) % 50
+    req = lambda: [serving.Request(uid=0, tokens=p, max_new_tokens=4)]
+    with pytest.raises(RuntimeError, match="exhausted"):
+        serving.PagedEngine(params, cfg, max_batch=2, page_size=8,
+                            num_pages=1).run(req())
+    eng = serving.PagedEngine(params, cfg, max_batch=2, page_size=8,
+                              num_pages=2)  # 16 slots for len 8+4
+    out = eng.run(req())
+    ref = serving.Engine(params, cfg, max_batch=2).run(req())
+    assert out == ref
+
+
 def test_serve_bench_chain_smoke():
     """tools/serve_bench's fori_loop decode chain compiles and runs (tiny
     config, CPU interpret) — guards the end-to-end throughput harness."""
