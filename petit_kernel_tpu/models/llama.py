@@ -41,6 +41,7 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     rms_eps: float = 1e-5
     max_seq_len: int = 2048
+    attn_bias: bool = False     # Qwen2-style bias on q/k/v projections
 
     @staticmethod
     def llama3_8b(**kw):
@@ -53,6 +54,14 @@ class LlamaConfig:
         return LlamaConfig(**{**dict(
             vocab_size=128256, hidden_size=8192, intermediate_size=28672,
             num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128), **kw})
+
+    @staticmethod
+    def qwen2_7b(**kw):
+        """Qwen2/Qwen2.5-7B: Llama architecture + QKV bias, 1e6 rope."""
+        return LlamaConfig(**{**dict(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+            rope_theta=1e6, rms_eps=1e-6, attn_bias=True), **kw})
 
     @staticmethod
     def tiny(**kw):
@@ -101,30 +110,36 @@ def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
 
 def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
            interpret: bool = False) -> jax.Array:
-    """y = x @ W for dense or FP4-quantized layer dicts. x: (..., k)."""
+    """y = x @ W (+ b) for dense or FP4-quantized layer dicts. x: (..., k).
+    An optional "b" entry (Qwen2-style QKV bias) is added in bf16 after the
+    matmul — it never participates in quantization."""
     *lead, k = x.shape
     if "w" in layer:
-        return jnp.dot(x, layer["w"], preferred_element_type=jnp.float32
-                       ).astype(x.dtype)
+        y = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32
+                    ).astype(x.dtype)
+        return y + layer["b"].astype(y.dtype) if "b" in layer else y
     m = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(m, k)
     if "wd" in layer:  # hybrid FP4+BF16 layer (ops/hybrid.py)
         from ..ops import hybrid as hybrid_mod
         y = hybrid_mod.mul_hybrid(x2.astype(jnp.bfloat16), layer,
                                   interpret=interpret).astype(x.dtype)
-        return y.reshape(*lead, y.shape[-1])
-    n = layer["words"].shape[1]
-    # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
-    pure_fmt = "mxfp4" if fmt == "mxfp4" else "nvfp4"
-    if interpret:
-        mul = (gemm_mod.mul_nvfp4_a16 if pure_fmt == "nvfp4"
-               else gemm_mod.mul_mxfp4_a16)
-        y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n, k,
-                -1, interpret=True)
+        n = y.shape[-1]
     else:
-        # differentiable path (custom VJP): grads flow to activations
-        y = gemm_mod.mul_fp4_diff(pure_fmt, k, x2, layer["words"],
-                                  layer["scales"], layer["gs"])
+        n = layer["words"].shape[1]
+        # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
+        pure_fmt = "mxfp4" if fmt == "mxfp4" else "nvfp4"
+        if interpret:
+            mul = (gemm_mod.mul_nvfp4_a16 if pure_fmt == "nvfp4"
+                   else gemm_mod.mul_mxfp4_a16)
+            y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n,
+                    k, -1, interpret=True)
+        else:
+            # differentiable path (custom VJP): grads flow to activations
+            y = gemm_mod.mul_fp4_diff(pure_fmt, k, x2, layer["words"],
+                                      layer["scales"], layer["gs"])
+    if "b" in layer:
+        y = y + layer["b"].astype(y.dtype)
     return y.reshape(*lead, n)
 
 
@@ -140,18 +155,22 @@ def init_params(cfg: LlamaConfig, key: jax.Array,
     kv = cfg.num_kv_heads * cfg.head_dim
     f = cfg.intermediate_size
 
-    def dense(key, k, n, scale=None):
+    def dense(key, k, n, scale=None, bias=False):
         scale = scale or (1.0 / np.sqrt(k))
-        return {"w": (jax.random.normal(key, (k, n), jnp.float32) * scale
-                      ).astype(dtype)}
+        out = {"w": (jax.random.normal(key, (k, n), jnp.float32) * scale
+                     ).astype(dtype)}
+        if bias:
+            out["b"] = (jax.random.normal(jax.random.fold_in(key, 1), (n,),
+                                          jnp.float32) * 0.02).astype(dtype)
+        return out
 
     def layer_params(key):
         sk = jax.random.split(key, 7)
         return {
             "attn_norm": jnp.ones((h,), dtype),
-            "wq": dense(sk[0], h, q),
-            "wk": dense(sk[1], h, kv),
-            "wv": dense(sk[2], h, kv),
+            "wq": dense(sk[0], h, q, bias=cfg.attn_bias),
+            "wk": dense(sk[1], h, kv, bias=cfg.attn_bias),
+            "wv": dense(sk[2], h, kv, bias=cfg.attn_bias),
             "wo": dense(sk[3], q, h),
             "mlp_norm": jnp.ones((h,), dtype),
             "w_gate": dense(sk[4], h, f),
@@ -180,13 +199,17 @@ def _fused_projections(lp: dict, fmt: str) -> dict:
     wv = np.asarray(lp["wv"]["w"], np.float32)
     wg = np.asarray(lp["w_gate"]["w"], np.float32)
     wu = np.asarray(lp["w_up"]["w"], np.float32)
-    return {
+    out = {
         "wqkv": quantize_linear(np.concatenate([wq, wk, wv], axis=1), fmt),
         "w_gateup": quantize_linear(np.concatenate([wg, wu], axis=1), fmt),
         "wo": quantize_linear(np.asarray(lp["wo"]["w"], np.float32), fmt),
         "w_down": quantize_linear(np.asarray(lp["w_down"]["w"], np.float32),
                                   fmt),
     }
+    if "b" in lp["wq"]:  # Qwen2 QKV bias rides the fused projection
+        out["wqkv"]["b"] = jnp.concatenate(
+            [jnp.asarray(lp[nm]["b"]) for nm in ("wq", "wk", "wv")])
+    return out
 
 
 def quantize_params(params: dict, fmt: str = "nvfp4",
@@ -213,6 +236,8 @@ def quantize_params(params: dict, fmt: str = "nvfp4",
             w = np.asarray(lp[name]["w"], np.float32)
             if w.shape[0] % min_k == 0 and w.shape[1] % 16 == 0:
                 q[name] = quantize_linear(w, fmt)
+                if "b" in lp[name]:
+                    q[name]["b"] = lp[name]["b"]
         out["layers"].append(q)
     return out
 

@@ -59,6 +59,10 @@ def config_from_hf(hf: dict) -> llama.LlamaConfig:
                         // hf["num_attention_heads"]),
         rope_theta=hf.get("rope_theta", 500000.0),
         rms_eps=hf.get("rms_norm_eps", 1e-5),
+        # Qwen2/Qwen2.5 = Llama architecture + bias on q/k/v projections
+        attn_bias=(hf.get("attention_bias", False)
+                   or any("Qwen2" in a
+                          for a in hf.get("architectures", []))),
     )
 
 
@@ -206,6 +210,9 @@ def load_llama(path: str, fmt: str = "nvfp4",
                             "gs": jnp.float32(c["gs"])}
             else:
                 lp[ours] = _make_quantized_layer(tensors, prefix, fmt)
+            if prefix + ".bias" in tensors:  # Qwen2 QKV bias, kept bf16
+                lp[ours]["b"] = jnp.asarray(
+                    _to_f32(tensors[prefix + ".bias"]), jnp.bfloat16)
         params["layers"].append(lp)
     if use_cache and fmt != "bf16" and cached is None:
         _save_repack_cache(path, fmt, params["layers"])

@@ -9,6 +9,8 @@ order.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +18,17 @@ import numpy as np
 from ..numerics import reference as ref_numerics
 from . import layout as layout_mod
 from .kernels import hybrid as hybrid_kernel
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class HybridMeta:
+    """Static split metadata of a hybrid layer. Registered static so a
+    params pytree holding hybrid layers can flow through jax.jit — these
+    are compile-time block shapes, not data."""
+    block_nf: int
+    block_nd: int
+    size_k: int
 
 
 def permute_k_for_a(wd: np.ndarray, kp: int) -> np.ndarray:
@@ -68,15 +81,16 @@ def quantize_hybrid(w_kn: np.ndarray, *, block_nf: int = 1536,
         "words": jnp.asarray(words), "scales": jnp.asarray(st),
         "gs": jnp.float32(gs), "wd": jnp.asarray(wd),
         "inv_perm": jnp.asarray(np.argsort(perm), jnp.int32),
-        "block_nf": block_nf, "block_nd": block_nd, "size_k": k,
+        "meta": HybridMeta(block_nf, block_nd, k),
     }
 
 
 def mul_hybrid(a: jax.Array, hq: dict, *, block_m: int = 16,
                block_k: int = 1024, interpret: bool = False) -> jax.Array:
     """(m, k) @ hybrid-quantized (k, n) -> (m, n) in original column order."""
+    meta = hq["meta"]
     outf, outd = hybrid_kernel.hybrid_mul(
         a, hq["words"], hq["scales"], hq["gs"], hq["wd"],
-        block_m=block_m, block_nf=hq["block_nf"], block_nd=hq["block_nd"],
+        block_m=block_m, block_nf=meta.block_nf, block_nd=meta.block_nd,
         block_k=block_k, interpret=interpret)
     return jnp.concatenate([outf, outd], axis=1)[:, hq["inv_perm"]]

@@ -21,7 +21,7 @@ CFG = dict(vocab_size=128, hidden_size=128, intermediate_size=256,
            rms_norm_eps=1e-5)
 
 
-def _write_dense_ckpt(path, rng):
+def _write_dense_ckpt(path, rng, qwen2=False):
     h, f, v = CFG["hidden_size"], CFG["intermediate_size"], CFG["vocab_size"]
     q = CFG["num_attention_heads"] * CFG["head_dim"]
     kv = CFG["num_key_value_heads"] * CFG["head_dim"]
@@ -42,9 +42,18 @@ def _write_dense_ckpt(path, rng):
         for name, (n, k) in shapes.items():
             t[pre + name + ".weight"] = (
                 rng.standard_normal((n, k)).astype(ml_dtypes.bfloat16) / 8)
+        if qwen2:
+            for name in ("self_attn.q_proj", "self_attn.k_proj",
+                         "self_attn.v_proj"):
+                n = shapes[name][0]
+                t[pre + name + ".bias"] = (
+                    rng.standard_normal(n) / 50).astype(ml_dtypes.bfloat16)
     st_numpy.save_file(t, os.path.join(path, "model.safetensors"))
+    cfg_json = dict(CFG)
+    if qwen2:
+        cfg_json["architectures"] = ["Qwen2ForCausalLM"]
     with open(os.path.join(path, "config.json"), "w") as fp:
-        json.dump(CFG, fp)
+        json.dump(cfg_json, fp)
 
 
 def test_load_dense_and_quantize(tmp_path):
@@ -129,3 +138,27 @@ def test_repack_cache_roundtrip(tmp_path):
     # stale cache (older than a touched shard) is ignored
     os.utime(os.path.join(tmp_path, "model.safetensors"))
     assert loader._load_repack_cache(str(tmp_path), "nvfp4") is None
+
+
+def test_load_qwen2_bias(tmp_path):
+    """Qwen2-flavor checkpoint (architectures + QKV .bias tensors): config
+    detection sets attn_bias, biases land on the quantized layers, and the
+    forward runs them."""
+    rng = np.random.default_rng(3)
+    _write_dense_ckpt(tmp_path, rng, qwen2=True)
+    cfg, params = loader.load_llama(str(tmp_path), fmt="nvfp4",
+                                    use_cache=False)
+    assert cfg.attn_bias
+    lp = params["layers"][0]
+    assert all("b" in lp[n] for n in ("wq", "wk", "wv"))
+    assert "b" not in lp["wo"] and "b" not in lp["w_gate"]
+    # bias round-trips bit-exactly from the checkpoint
+    raw = st_numpy.load_file(os.path.join(tmp_path, "model.safetensors"))
+    np.testing.assert_array_equal(
+        np.asarray(lp["wq"]["b"]).view(np.uint16),
+        raw["model.layers.0.self_attn.q_proj.bias"]
+        .astype(ml_dtypes.bfloat16).view(np.uint16))
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0,
+                              cfg.vocab_size)
+    lg, _ = llama.forward(params, toks, cfg, fmt="nvfp4", interpret=True)
+    assert np.isfinite(np.asarray(lg, np.float32)).all()

@@ -37,6 +37,8 @@ def _dequant_params(qparams, params):
                     np.asarray(layer["words"]), np.asarray(layer["scales"]),
                     n, k, group_size=16) * np.float32(layer["gs"])
                 d[name] = {"w": jnp.asarray(deq, jnp.bfloat16)}
+                if "b" in layer:
+                    d[name]["b"] = layer["b"]
         out["layers"].append(d)
     return out
 
@@ -87,6 +89,51 @@ def test_fp4_forward_matches_dequant_oracle(tiny_setup):
     confident = margin > 0.05
     agree = (lq.argmax(-1) == ld.argmax(-1))[confident]
     assert agree.size == 0 or agree.mean() >= 0.95, agree.mean()
+
+
+def test_qwen2_attn_bias_quantized_forward():
+    """Qwen2 family = Llama + QKV bias: the bias survives quantization
+    (unfused and fused), changes the logits, and the quantized forward
+    matches the dequant oracle with the bias in place."""
+    cfg = llama.LlamaConfig.tiny(attn_bias=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    assert "b" in params["layers"][0]["wq"]
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 8), 0,
+                                cfg.vocab_size)
+
+    qparams = llama.quantize_params(params, "nvfp4", fuse=False)
+    assert all("b" in qparams["layers"][0][n] for n in ("wq", "wk", "wv"))
+    dparams = _dequant_params(qparams, params)
+    lq, _ = llama.forward(qparams, tokens, cfg, fmt="nvfp4", interpret=True)
+    ld, _ = llama.forward(dparams, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(lq, np.float32),
+                               np.asarray(ld, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    # the bias is load-bearing: zeroing it moves the logits
+    z = jax.tree.map(lambda x: x, dparams)
+    for lp in z["layers"]:
+        for n in ("wq", "wk", "wv"):
+            lp[n] = {"w": lp[n]["w"], "b": jnp.zeros_like(lp[n]["b"])}
+    l0, _ = llama.forward(z, tokens, cfg)
+    assert np.abs(np.asarray(ld) - np.asarray(l0)).max() > 1e-3
+
+    # fused path concatenates the three biases onto wqkv
+    fused = llama.quantize_params(params, "nvfp4")
+    b = fused["layers"][0]["wqkv"]["b"]
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    assert b.shape == (nq + 2 * nkv,)
+    np.testing.assert_array_equal(np.asarray(b[:nq]),
+                                  np.asarray(params["layers"][0]["wq"]["b"]))
+    lf, _ = llama.forward(fused, tokens, cfg, fmt="nvfp4", interpret=True)
+    assert np.isfinite(np.asarray(lf, np.float32)).all()
+
+
+def test_qwen2_config():
+    cfg = llama.LlamaConfig.qwen2_7b()
+    assert cfg.attn_bias and cfg.num_kv_heads == 4
+    assert cfg.rope_theta == 1e6
 
 
 def test_greedy_decode_with_cache_matches_no_cache(tiny_setup):

@@ -46,10 +46,30 @@ def fabricate_qlayer(rng, k, n):
             "gs": jnp.float32(1.0 / 448.0)}
 
 
-def build_model(cfg, rng):
+def fabricate_hybrid_layer(rng, k, n, *, block_nf=1536, block_nd=512):
+    """Hybrid FP4+BF16 layer (ops/hybrid.py contract) with fabricated
+    contents: FP4 words/scales for the block_nf fraction, dense bf16 for
+    the salient block_nd fraction, identity column permutation."""
+    step = block_nf + block_nd
+    if n % step:  # too narrow to split: pure FP4 fallback (llama.linear)
+        return fabricate_qlayer(rng, k, n)
+    nn = n // step
+    nf, nd = nn * block_nf, nn * block_nd
+    base = fabricate_qlayer(rng, k, nf)
+    kp = base["words"].shape[0] * 8
+    wd = jnp.asarray(rng.standard_normal((kp, nd)).astype(np.float32) / 50,
+                     jnp.bfloat16)
+    from petit_kernel_tpu.ops.hybrid import HybridMeta
+    return {**base, "wd": wd,
+            "inv_perm": jnp.arange(n, dtype=jnp.int32),
+            "meta": HybridMeta(block_nf, block_nd, k)}
+
+
+def build_model(cfg, rng, fmt="nvfp4"):
     h, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
+    fab = fabricate_hybrid_layer if fmt == "hybrid" else fabricate_qlayer
     params = {
         "embed": jnp.asarray(
             rng.standard_normal((v, h)).astype(np.float32) / 50,
@@ -63,10 +83,10 @@ def build_model(cfg, rng):
             "attn_norm": jnp.ones((h,), jnp.bfloat16),
             "mlp_norm": jnp.ones((h,), jnp.bfloat16),
             # fused projections (llama.quantize_params fuse=True layout)
-            "wqkv": fabricate_qlayer(rng, h, nq + 2 * nkv),
-            "wo": fabricate_qlayer(rng, nq, h),
-            "w_gateup": fabricate_qlayer(rng, h, 2 * f),
-            "w_down": fabricate_qlayer(rng, f, h),
+            "wqkv": fab(rng, h, nq + 2 * nkv),
+            "wo": fab(rng, nq, h),
+            "w_gateup": fab(rng, h, 2 * f),
+            "w_down": fab(rng, f, h),
         })
     return params
 
@@ -78,19 +98,22 @@ def main():
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--n1", type=int, default=8)
     p.add_argument("--n2", type=int, default=40)
+    p.add_argument("--format", default="nvfp4",
+                   choices=["nvfp4", "mxfp4", "hybrid"])
     args = p.parse_args()
 
     cfg = llama.LlamaConfig.llama3_8b(max_seq_len=args.seq,
                                       vocab_size=32768,
                                       num_layers=args.layers)
     rng = np.random.default_rng(0)
-    params = build_model(cfg, rng)
+    params = build_model(cfg, rng, fmt=args.format)
     bs = args.bs
     cache0 = llama.init_cache(cfg, bs)
     toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, bs), jnp.int32)
 
     # weight bytes streamed per decode step (FP4 words + bf16 scales)
     wbytes = sum(lp[k]["words"].size * 4 + lp[k]["scales"].size * 2
+                 + (lp[k]["wd"].size * 2 if "wd" in lp[k] else 0)
                  for lp in params["layers"]
                  for k in ("wqkv", "wo", "w_gateup", "w_down"))
     wbytes += params["embed"].size * 2  # lm_head (tied) streams too
@@ -102,7 +125,7 @@ def main():
             pos = jnp.full((bs, 1), 16 + (i % 64), jnp.int32)  # steady state
             t_in = (toks + salt.astype(jnp.int32) + i) % cfg.vocab_size
             logits, cache = llama.forward(params, t_in[:, None], cfg, cache,
-                                          pos, fmt="nvfp4")
+                                          pos, fmt=args.format)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
             return cache, nxt, acc + jnp.sum(nxt)
         _, _, acc = jax.lax.fori_loop(0, n_steps, body,
@@ -123,7 +146,7 @@ def main():
     tbs = [timed(args.n2) for _ in range(3)]
     t_step = max((min(tbs) - min(tas)) / (args.n2 - args.n1), 1e-9)
     roofline_t = wbytes / (HBM_GBPS * 1e9)
-    print(f"# model: {args.layers}L hidden={cfg.hidden_size} "
+    print(f"# model: {args.layers}L hidden={cfg.hidden_size} fmt={args.format} "
           f"inter={cfg.intermediate_size} bs={bs} "
           f"fp4+scales={wbytes / 1e9:.2f} GB")
     print(f"# step={t_step * 1e3:.2f} ms  tokens/s/chip={bs / t_step:.1f}  "
