@@ -37,6 +37,22 @@ class Request:
     tokens: np.ndarray          # prompt token ids, (T,)
     max_new_tokens: int = 32
     eos_id: int = -1            # -1: never stops on eos
+    temperature: float = 0.0    # 0: greedy; >0: gumbel-max sampling
+
+
+def sample_next(logits, key, temps, top_k: int = 0):
+    """Per-slot next token from (B, V) logits: greedy where temps[b]==0,
+    temperature sampling otherwise (gumbel-max — one argmax, no host
+    sync), optionally restricted to the top_k logits. jit-safe."""
+    lg = logits.astype(jnp.float32)
+    greedy = jnp.argmax(lg, -1).astype(jnp.int32)
+    if top_k:
+        kth = jnp.sort(lg, -1)[:, -top_k][:, None]
+        lg = jnp.where(lg >= kth, lg, -jnp.inf)
+    safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
+    g = jax.random.gumbel(key, lg.shape, jnp.float32)
+    sampled = jnp.argmax(lg / safe_t + g, -1).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
 
 
 class Engine:
@@ -44,16 +60,21 @@ class Engine:
 
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
                  fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
-                 interpret: bool = False, forward_fn=None, cache=None):
+                 interpret: bool = False, forward_fn=None, cache=None,
+                 top_k: int = 0, seed: int = 0):
         """forward_fn(params, tokens (B, T), cache, pos (B, T)) ->
         (logits, new_cache) overrides the model forward — e.g.
         parallel.tp.make_tp_step for tensor-parallel serving (pass the
-        matching sharded cache via `cache`, parallel.tp.init_cache_tp)."""
+        matching sharded cache via `cache`, parallel.tp.init_cache_tp).
+        Sampling: per-request temperature (Request.temperature, 0=greedy)
+        with an engine-wide optional top_k cutoff."""
         self.params = params
         self.cfg = cfg
         self.B = max_batch
         self.fmt = fmt
         self.interpret = interpret
+        self.top_k = top_k
+        self._key = jax.random.PRNGKey(seed)
         if forward_fn is None:
             def forward_fn(p, toks, cache_, pos_):
                 return llama.forward(p, toks, cfg, cache_, pos_,
@@ -64,17 +85,22 @@ class Engine:
         self.pos = np.zeros(max_batch, np.int32)       # next position
         self.active = np.zeros(max_batch, bool)
         self.last_tok = np.zeros(max_batch, np.int32)
+        self.temps = np.zeros(max_batch, np.float32)
         self.slot_req: list[Optional[Request]] = [None] * max_batch
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
 
         @jax.jit
-        def _decode_step(params, cache, toks, pos):
+        def _decode_step(params, cache, toks, pos, key, temps):
             logits, cache = forward_fn(params, toks[:, None], cache,
                                        pos[:, None])
-            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+            return sample_next(logits[:, -1], key, temps, top_k), cache
 
         self._decode_step = _decode_step
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     # -- scheduling ---------------------------------------------------------
 
@@ -89,6 +115,7 @@ class Engine:
         slot = int(free[0])
         T = len(req.tokens)
         assert T + req.max_new_tokens <= self.cfg.max_seq_len
+        self.temps[slot] = req.temperature
         first = self._prefill(slot, req.tokens)
         self.pos[slot] = T
         self.active[slot] = True
@@ -113,12 +140,19 @@ class Engine:
             k, v = self.cache[i]
             self.cache[i] = (k.at[slot:slot + 1].set(k1),
                              v.at[slot:slot + 1].set(v1))
-        return int(jnp.argmax(logits[0, -1]))
+        return self._first_token(logits, slot)
+
+    def _first_token(self, logits, slot: int) -> int:
+        """Sample the first generated token from prefill logits."""
+        return int(sample_next(logits[:, -1], self._next_key(),
+                               jnp.full((1,), self.temps[slot], jnp.float32),
+                               self.top_k)[0])
 
     def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
         """One batched decode step; returns next-token ids (B,)."""
         nxt, self.cache = self._decode_step(self.params, self.cache, toks,
-                                            pos)
+                                            pos, self._next_key(),
+                                            jnp.asarray(self.temps))
         return nxt
 
     def _release(self, slot: int) -> None:
@@ -132,6 +166,7 @@ class Engine:
         self.finished[req.uid] = self.generated.pop(req.uid)
         self.active[slot] = False
         self.slot_req[slot] = None
+        self.temps[slot] = 0.0
         self._release(slot)
 
     def step(self) -> int:
@@ -174,7 +209,7 @@ class PagedEngine(Engine):
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
                  fmt: str = "nvfp4", page_size: int = 16,
                  num_pages: Optional[int] = None, cache_dtype=jnp.bfloat16,
-                 interpret: bool = False):
+                 interpret: bool = False, top_k: int = 0, seed: int = 0):
         from . import paged  # local import: keeps serving importable alone
         self._paged = paged
         self.params = params
@@ -182,22 +217,25 @@ class PagedEngine(Engine):
         self.B = max_batch
         self.fmt = fmt
         self.interpret = interpret
+        self.top_k = top_k
+        self._key = jax.random.PRNGKey(seed)
         self.pc = paged.init_paged_cache(
             cfg, max_batch, page_size=page_size, num_pages=num_pages,
             dtype=cache_dtype)
         self.pos = np.zeros(max_batch, np.int32)
         self.active = np.zeros(max_batch, bool)
         self.last_tok = np.zeros(max_batch, np.int32)
+        self.temps = np.zeros(max_batch, np.float32)
         self.slot_req: list[Optional[Request]] = [None] * max_batch
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def _decode_step(params, pages, bt, toks, pos):
+        def _decode_step(params, pages, bt, toks, pos, key, temps):
             logits, pages = paged.forward_paged(
                 params, toks[:, None], cfg, pages, bt, pos[:, None],
                 page_size=page_size, fmt=fmt, interpret=interpret)
-            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), pages
+            return sample_next(logits[:, -1], key, temps, top_k), pages
 
         self._decode_step = _decode_step
 
@@ -211,7 +249,7 @@ class PagedEngine(Engine):
             self.pc.block_tables[slot:slot + 1], pos,
             page_size=self.pc.page_size, fmt=self.fmt,
             interpret=self.interpret)
-        return int(jnp.argmax(logits[0, -1]))
+        return self._first_token(logits, slot)
 
     def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
         # grow block tables so this tick's write position is covered;
@@ -220,7 +258,8 @@ class PagedEngine(Engine):
             self._paged.ensure_capacity(self.pc, slot,
                                         int(self.pos[slot]) + 1)
         nxt, self.pc.pages = self._decode_step(
-            self.params, self.pc.pages, self.pc.block_tables, toks, pos)
+            self.params, self.pc.pages, self.pc.block_tables, toks, pos,
+            self._next_key(), jnp.asarray(self.temps))
         return nxt
 
     def _release(self, slot: int) -> None:

@@ -142,6 +142,30 @@ def test_paged_engine_pool_bound(setup):
     assert out == ref
 
 
+def test_engine_sampling(setup):
+    """Temperature sampling: deterministic under a seed, actually random
+    across seeds, top_k=1 collapses to greedy, and the paged engine draws
+    the identical sampled chain (same key schedule)."""
+    cfg, params = setup
+    p = np.array([5, 9, 42, 7], np.int32)
+    req = lambda t: [serving.Request(uid=0, tokens=p, max_new_tokens=8,
+                                     temperature=t)]
+    greedy = serving.Engine(params, cfg, max_batch=2).run(req(0.0))
+    a = serving.Engine(params, cfg, max_batch=2, seed=7).run(req(3.0))
+    b = serving.Engine(params, cfg, max_batch=2, seed=7).run(req(3.0))
+    assert a == b
+    c = serving.Engine(params, cfg, max_batch=2, seed=8).run(req(3.0))
+    assert a[0] != c[0] or a[0] != greedy[0]
+    assert all(0 <= t < cfg.vocab_size for t in a[0])
+    # top_k=1 masks everything but the argmax: greedy at any temperature
+    d = serving.Engine(params, cfg, max_batch=2, seed=7,
+                       top_k=1).run(req(5.0))
+    assert d == greedy
+    e = serving.PagedEngine(params, cfg, max_batch=2, seed=7,
+                            page_size=8).run(req(3.0))
+    assert e == a
+
+
 def test_serve_bench_chain_smoke():
     """tools/serve_bench's fori_loop decode chain compiles and runs (tiny
     config, CPU interpret) — guards the end-to-end throughput harness."""
