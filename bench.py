@@ -143,16 +143,17 @@ def run_hybrid(cases, n1, n2):
     prev_nk = None
     for (m, n, k) in cases:
         if (n, k) != prev_nk:
-            prev_nk = (n, k)
             rng = np.random.default_rng(n + k)
             w = rng.standard_normal((k, n)).astype(np.float32) / 8
             for (bnf, bnd) in ((1536, 512), (768, 256), (384, 128)):
                 if n % (bnf + bnd) == 0:
                     break
             else:
+                prev_nk = None  # don't reuse a stale hq for this (n, k)
                 continue
             hq = hybrid_mod.quantize_hybrid(w, block_nf=bnf, block_nd=bnd)
             b_dense = jnp.asarray(w, jnp.bfloat16)
+            prev_nk = (n, k)  # only mark reusable after quantize succeeds
         a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
         def hyb_call(a2, words, scales, wd):

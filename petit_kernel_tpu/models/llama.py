@@ -290,9 +290,12 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret):
         k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = (ck, cv)
         S = ck.shape[1]
-        kv_pos = jnp.arange(S)[None, :]
-        valid = kv_pos <= (pos[:, -1:])  # causal against absolute positions
-        attn_mask = valid[:, None, None, :]  # (B,1,1,S)
+        # per-query causal mask against absolute positions: query at pos[b,t]
+        # may attend kv slots <= pos[b,t] (a (B,1,1,S) mask keyed only on the
+        # LAST position would let earlier prompt tokens see the future during
+        # multi-token cached prefill)
+        kv_pos = jnp.arange(S)[None, None, :]           # (1,1,S)
+        attn_mask = (kv_pos <= pos[:, :, None])[:, None]  # (B,1,T,S)
     else:
         k_all, v_all = k, v
         new_cache = None

@@ -167,8 +167,11 @@ def load_llama(path: str, fmt: str = "nvfp4",
         with open(os.path.join(path, "config.json")) as f:
             cfg = config_from_hf(json.load(f))
     tensors = _open_all_tensors(path)
-    cached = (_load_repack_cache(path, fmt)
-              if use_cache and fmt != "bf16" else None)
+    # hybrid layers carry wd/inv_perm/meta beyond words/scales/gs; the npz
+    # cache doesn't persist those, so caching hybrid would silently rebuild
+    # layers as pure-FP4 with the wrong output width — skip it entirely.
+    cacheable = use_cache and fmt not in ("bf16", "hybrid")
+    cached = _load_repack_cache(path, fmt) if cacheable else None
 
     def dense(key, transpose=True):
         w = _to_f32(tensors[key])
@@ -214,6 +217,6 @@ def load_llama(path: str, fmt: str = "nvfp4",
                 lp[ours]["b"] = jnp.asarray(
                     _to_f32(tensors[prefix + ".bias"]), jnp.bfloat16)
         params["layers"].append(lp)
-    if use_cache and fmt != "bf16" and cached is None:
+    if cacheable and cached is None:
         _save_repack_cache(path, fmt, params["layers"])
     return cfg, params

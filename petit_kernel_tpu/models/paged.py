@@ -143,8 +143,9 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
     k_all = k_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
     v_all = v_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
     S = k_all.shape[1]
-    kv_pos = jnp.arange(S)[None, :]
-    attn_mask = (kv_pos <= pos[:, -1:])[:, None, None, :]
+    # per-query causal mask (see llama.attention): (B,1,T,S)
+    kv_pos = jnp.arange(S)[None, None, :]
+    attn_mask = (kv_pos <= pos[:, :, None])[:, None]
 
     rep = nq // nkv
     k_all = jnp.repeat(k_all, rep, axis=2)

@@ -155,6 +155,24 @@ def test_greedy_decode_with_cache_matches_no_cache(tiny_setup):
     assert np.array_equal(np.asarray(out), np.asarray(expect))
 
 
+def test_cached_prefill_is_causal(tiny_setup):
+    """Regression: multi-token prefill THROUGH the cache path must equal the
+    no-cache causal forward at every position — a mask keyed only on the last
+    position lets prompt tokens attend to the future (contaminating layer>=1
+    KV and the first-token logits)."""
+    cfg, params, _ = tiny_setup
+    B, T = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(11), (B, T), 0,
+                                cfg.vocab_size)
+    ref_logits, _ = llama.forward(params, tokens, cfg)  # no-cache causal
+    cache = llama.init_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    cl, _ = llama.forward(params, tokens, cfg, cache, pos)
+    np.testing.assert_allclose(np.asarray(cl, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_fp4_model_perplexity_sane(tiny_setup):
     """Quantization must not blow up the distribution: avg KL(dense || fp4)
     bounded. Analog of the BASELINE MMLU-delta gate at toy scale."""

@@ -69,6 +69,26 @@ def test_paged_forward_matches_contiguous(setup, fmt):
         assert np.array_equal(np.asarray(last), np.asarray(ref_last)), step
 
 
+def test_paged_prefill_is_causal(setup):
+    """Regression: paged multi-token prefill equals the no-cache causal
+    forward (per-query mask, not last-position-only)."""
+    cfg, params = setup
+    B, T = 2, 12
+    toks = jax.random.randint(jax.random.PRNGKey(9), (B, T), 0,
+                              cfg.vocab_size)
+    ref_logits, _ = llama.forward(params, toks, cfg)
+    pc = paged.init_paged_cache(cfg, B, page_size=16)
+    for b in range(B):
+        paged.ensure_capacity(pc, b, T)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    logits, _ = paged.forward_paged(params, toks, cfg, pc.pages,
+                                    pc.block_tables, pos,
+                                    page_size=pc.page_size)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_allocator_reuse_and_exhaustion(setup):
     cfg, _ = setup
     pc = paged.init_paged_cache(cfg, batch=2, page_size=16, num_pages=4)
