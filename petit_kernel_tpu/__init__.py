@@ -28,7 +28,7 @@ from .ops import gemm as _gemm
 from .ops import solution as _solution
 from .ops.gemm import mul_nvfp4_a16, mul_mxfp4_a16, get_fp4_solutions
 from .ops.solution import (SolutionId, SolutionHints as PetitSolutionHints,
-                           ElementB, MatmulType)
+                           ElementB, MatmulType, default_hints)
 
 
 class DataType(enum.Enum):
@@ -90,4 +90,5 @@ __all__ = [
     "SolutionId",
     "ElementB",
     "MatmulType",
+    "default_hints",
 ]

@@ -47,7 +47,8 @@ def sample_next(logits, key, temps, top_k: int = 0):
     lg = logits.astype(jnp.float32)
     greedy = jnp.argmax(lg, -1).astype(jnp.int32)
     if top_k:
-        kth = jnp.sort(lg, -1)[:, -top_k][:, None]
+        # lax.top_k is O(V log k) vs a full vocab sort every step
+        kth = jax.lax.top_k(lg, top_k)[0][:, -1:]
         lg = jnp.where(lg >= kth, lg, -jnp.inf)
     safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
     g = jax.random.gumbel(key, lg.shape, jnp.float32)

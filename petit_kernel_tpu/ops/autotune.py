@@ -31,7 +31,17 @@ from . import solution as solution_mod
 from .kernels import fused
 from .solution import SolutionId, ElementB, MatmulType
 
-_TABLE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "tuned")
+def _table_dir() -> str:
+    """Repo-checkout tuned/ when present, else a per-user cache dir (the
+    package may be installed site-wide with a read-only prefix)."""
+    repo = os.path.join(os.path.dirname(__file__), "..", "..", "tuned")
+    if os.path.isdir(repo) or os.access(os.path.dirname(repo), os.W_OK):
+        return repo
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "petit_kernel_tpu", "tuned")
+
+
+_TABLE_DIR = _table_dir()
 
 
 def _device_kind() -> str:
@@ -96,9 +106,17 @@ def tune_shape(m: int, n: int, k: int,
                element_b: ElementB = ElementB.NVFP4,
                mfma_type: MatmulType = MatmulType.BF16,
                *, verbose: bool = False, update_table: bool = True,
-               max_candidates: int = 24) -> SolutionId:
+               max_candidates: int = 24, full: bool = False,
+               time_budget_s: float | None = None,
+               top: int = 5) -> SolutionId:
     """Tune one shape on the current device; returns the fastest SolutionId
-    and (by default) records it in the in-memory dispatch table."""
+    and (by default) records it in the in-memory dispatch table.
+
+    full=True walks the ENTIRE feasible space like the reference's
+    `--algo tune` (tools/benchmarks/matmul/main.cc:269-325), printing the
+    top-`top` solutions; each config is a Mosaic compile, so an optional
+    time_budget_s caps the walk (candidates are ordered heuristic-first so
+    a truncated walk still covers the most promising region)."""
     from . import layout as layout_mod
     from ..numerics import formats as _formats
 
@@ -122,16 +140,41 @@ def tune_shape(m: int, n: int, k: int,
     s = jnp.asarray(dec, jnp.bfloat16)
     gs = jnp.float32(1.0)
 
-    best, best_t = None, math.inf
-    for sid in candidate_solutions(m, n, k, element_b, mfma_type,
-                                   max_candidates):
+    if full:
+        # full enumeration, heuristic-neighborhood first so a time-budgeted
+        # walk starts in the promising region
+        local = candidate_solutions(m, n, k, element_b, mfma_type,
+                                    max_candidates)
+        rest = [sid for sid in solution_mod.get_solutions(
+            m, n, k, element_b, mfma_type) if sid not in local]
+        cands = local + rest
+    else:
+        cands = candidate_solutions(m, n, k, element_b, mfma_type,
+                                    max_candidates)
+    import time as _time
+    t0 = _time.perf_counter()
+    timed: list[tuple[float, SolutionId]] = []
+    for idx, sid in enumerate(cands):
+        if (time_budget_s is not None and idx > 0
+                and _time.perf_counter() - t0 > time_budget_s):
+            if verbose:
+                print(f"# tune budget hit after {idx}/{len(cands)} "
+                      "candidates")
+            break
         t = time_solution(sid, a, b, s, gs)
+        timed.append((t, sid))
         if verbose:
             tf = 2 * m * n * k / t / 1e12 if t < math.inf else 0.0
             print(f"#   {sid.block_m:4d}x{sid.block_n:5d}x{sid.block_k:5d}"
+                  f"{' wc' if sid.weight_cache else '   '}"
                   f"  {t * 1e6:10.1f} us  {tf:7.2f} TFLOP/s")
-        if t < best_t:
-            best, best_t = sid, t
+    timed.sort(key=lambda ts: ts[0])
+    if full and verbose:
+        print(f"# top-{top} for m={m} n={n} k={k}:")
+        for t, sid in timed[:top]:
+            tf = 2 * m * n * k / t / 1e12 if t < math.inf else 0.0
+            print(f"#   {tf:7.2f} TFLOP/s  {t * 1e6:9.1f} us  {sid}")
+    best, best_t = timed[0][1], timed[0][0]
     assert best is not None
     if update_table:
         key = (gemm_mod._m_bucket(m), n, k, int(element_b), int(mfma_type),
@@ -142,10 +185,13 @@ def tune_shape(m: int, n: int, k: int,
 
 def tune_suite(shapes: Sequence[tuple[int, int, int]],
                element_b: ElementB = ElementB.NVFP4,
-               *, verbose: bool = False, save: bool = True) -> dict:
+               *, verbose: bool = False, save: bool = True,
+               full: bool = False,
+               time_budget_s: float | None = None) -> dict:
     """Tune a suite of (m, n, k) shapes and persist the table."""
     for (m, n, k) in shapes:
-        sid = tune_shape(m, n, k, element_b, verbose=verbose)
+        sid = tune_shape(m, n, k, element_b, verbose=verbose, full=full,
+                         time_budget_s=time_budget_s)
         if verbose:
             print(f"# best for m={m} n={n} k={k}: {sid}")
     if save:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import solution as solution_mod
-from .solution import SolutionId, ElementB, MatmulType
+from .solution import SolutionId, SolutionHints, ElementB, MatmulType
 from .kernels import fused
 
 # Lazily populated by autotune.load_table(); maps
@@ -46,15 +46,30 @@ def resolve_solution(m: int, n: int, k: int,
                      element_b: ElementB,
                      mfma_type: MatmulType = MatmulType.BF16,
                      high_precision: bool = False,
-                     solution_id: int = -1) -> SolutionId:
+                     solution_id: int = -1,
+                     hints: Optional[SolutionHints] = None) -> SolutionId:
     """solution_id semantics match the reference (fp4.cc:189-199):
     -1 -> tuned table, then heuristic; otherwise an explicit SolutionId.repr()
-    which must be feasible or ValueError (kErrorKernelShape analog)."""
+    which must be feasible or ValueError (kErrorKernelShape analog).
+
+    hints (PetitSolutionHints analog, gemm.h:110-117): b_type must agree
+    with element_b; require_high_precision forces high-precision resolution
+    and rejects explicit non-hp ids (the reference filters solutions by
+    precision-flag parity, algo_chooser.cc:76-80)."""
+    if hints is not None:
+        if hints.b_type != element_b:
+            raise ValueError(
+                f"hints.b_type {hints.b_type} mismatches element_b "
+                f"{element_b}")
+        high_precision = high_precision or hints.require_high_precision
     if solution_id is not None and solution_id >= 0:
         sid = SolutionId.from_repr(solution_id)
         if sid.element_b != element_b:
             raise ValueError(
                 f"solution {sid} element_b mismatch (want {element_b})")
+        if high_precision and not sid.high_precision:
+            raise ValueError(
+                f"solution {sid} is not high-precision but hints require it")
         if not solution_mod.is_feasible(sid, m, n, k):
             raise ValueError(
                 f"solution {sid} infeasible for m={m} n={n} k={k} "
@@ -101,15 +116,21 @@ def _validate_and_prepare(a, b, s, m, n, k, group: int):
 
 
 def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
-         element_b: ElementB, interpret: bool = False):
+         element_b: ElementB, interpret: bool = False,
+         hints: Optional[SolutionHints] = None):
     if size_m == 0 or size_n == 0 or size_k == 0:
         return jnp.zeros((size_m, size_n), dtype=jnp.asarray(a).dtype)
     group = 16 if element_b == ElementB.NVFP4 else 32
     a, b, s = _validate_and_prepare(a, b, s, size_m, size_n, size_k, group)
     in_dtype = a.dtype
     mfma = MatmulType.FP16 if in_dtype == jnp.float16 else MatmulType.BF16
+    if hints is None and solution_id < 0:
+        # arch-aware defaults (reference auto-enables hp on gfx90a,
+        # fp4.cc:24-34,189-191; no TPU generation needs it — see
+        # solution.default_hints)
+        hints = solution_mod.default_hints(b_type=element_b)
     sid = resolve_solution(size_m, size_n, size_k, element_b, mfma,
-                           solution_id=solution_id)
+                           solution_id=solution_id, hints=hints)
     # fp16 activations: TPU MXU is bf16/f32-native; compute in bf16 (or f32
     # with a high-precision solution) and cast back. Documented deviation
     # from the reference's true-fp16 MFMA path.
@@ -127,23 +148,26 @@ def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
 
 
 def mul_nvfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
-                  solution_id: int = -1, *, interpret: bool = False):
+                  solution_id: int = -1, *, interpret: bool = False,
+                  hints: Optional[SolutionHints] = None):
     """c = (a @ dequant_nvfp4(b, s).T_layout) * global_scale -> (m, n).
 
     API parity with petit_kernel.mul_nvfp4_a16 (petit_kernel/__init__.py:
     37-47); b/s are this framework's repack_nvfp4 / process_nvfp4_scales
-    outputs (opaque layout, as in the reference).
+    outputs (opaque layout, as in the reference). hints: optional
+    SolutionHints; require_high_precision selects the f32/HIGHEST path.
     """
     return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
-                ElementB.NVFP4, interpret=interpret)
+                ElementB.NVFP4, interpret=interpret, hints=hints)
 
 
 def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
-                  solution_id: int = -1, *, interpret: bool = False):
+                  solution_id: int = -1, *, interpret: bool = False,
+                  hints: Optional[SolutionHints] = None):
     """MXFP4 variant (reference: GemmMxFp4Fp16Grid overriding element_b,
     gemm_fp4_fp16_grid.cc:79-95)."""
     return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
-                ElementB.MXFP4, interpret=interpret)
+                ElementB.MXFP4, interpret=interpret, hints=hints)
 
 
 # ---------------------------------------------------------------------------

@@ -92,11 +92,30 @@ class SolutionId:
 
 @dataclasses.dataclass(frozen=True)
 class SolutionHints:
-    """Soft preferences, analog of PetitSolutionHints (gemm.h:110-117)."""
+    """Soft preferences threaded through solution resolution, analog of
+    PetitSolutionHints (gemm.h:110-117). require_high_precision restricts
+    resolution to high-precision solutions (f32 A operand + HIGHEST MXU
+    passes) and rejects explicit non-hp solution ids, mirroring the
+    reference's precision-flag parity filter (algo_chooser.cc:68-84)."""
     a_type: MatmulType = MatmulType.BF16
     b_type: ElementB = ElementB.NVFP4
     c_type: MatmulType = MatmulType.BF16
     require_high_precision: bool = False
+
+
+def default_hints(device_kind: str | None = None,
+                  b_type: ElementB = ElementB.NVFP4) -> SolutionHints:
+    """Arch-aware default hints, analog of the reference's automatic
+    high-precision enable on gfx90a (lib/pybind/fp4.cc:24-34): the quirk
+    there is MFMA flushing denormal inputs. The TPU VPU has the same hazard
+    class (measured: bf16/f32 subnormal multiply inputs flush on v5e), but
+    the kernel's decode is designed around it — the q-coded ramp keeps every
+    decoded magnitude normal and scale products exact in bf16 — so no known
+    TPU generation requires the high-precision path for correctness.
+    Unknown/future device kinds keep the fast path too; the hint stays the
+    user's escape hatch."""
+    del device_kind  # no known TPU generation needs hp for correctness
+    return SolutionHints(b_type=b_type)
 
 
 # The enumerated solution space (analog of gen_solution_list.cc:34-53's 39
@@ -110,11 +129,53 @@ def _padded_k(k: int, group_size: int = 16) -> int:
     from . import layout
     return layout.padded_k(k, layout.pad_multiple(group_size))
 
-# Per-step VMEM budget (bytes) used by the feasibility filter. The scoped
-# VMEM limit on v5e is 16 MiB (measured: an 18.6 MB scoped allocation is
-# rejected by the compiler); scales are streamed per quarter+step, so only
-# the weight block double-buffer and decode temporaries are sizable.
-VMEM_BUDGET = 16 * 1024 * 1024
+
+@dataclasses.dataclass(frozen=True)
+class DeviceParams:
+    """Per-device-kind constants consumed by feasibility + heuristics, so no
+    single generation's measured numbers are load-bearing on another
+    (tables in tuned/ are already per-device-kind)."""
+    # Scoped-VMEM budget for one grid step incl. double buffering. 16 MiB is
+    # MEASURED on v5e (an 18.6 MB scoped allocation is rejected by Mosaic).
+    # Other generations keep the conservative measured floor until tuned on
+    # real hardware; override via PETIT_TPU_VMEM_BUDGET or set_device_params.
+    vmem_budget: int = 16 * 1024 * 1024
+    # Preferred decode-regime block_n ladder (widest first). v5e sweep put
+    # bn=4096 ~10% ahead of 512 at m=16.
+    decode_bns: tuple = (4096, 2048, 1024, 512)
+    # Preferred prefill block_n ladder.
+    prefill_bns: tuple = (1024, 512, 256, 128)
+
+
+_DEVICE_PARAMS: dict[str, DeviceParams] = {
+    "TPU v5 lite": DeviceParams(),            # v5e, measured
+    "TPU v5p": DeviceParams(),                # same floor until measured
+    "TPU v4": DeviceParams(),
+    "TPU v6 lite": DeviceParams(),
+    "cpu": DeviceParams(),                    # interpret-mode tests
+}
+_params_override: list = [None]
+
+
+def set_device_params(params: "DeviceParams | None") -> None:
+    """Force device params (e.g. after measuring a new generation)."""
+    _params_override[0] = params
+
+
+def device_params(kind: str | None = None) -> DeviceParams:
+    if _params_override[0] is not None:
+        return _params_override[0]
+    if kind is None:
+        import os
+        env = os.environ.get("PETIT_TPU_VMEM_BUDGET")
+        if env:
+            return DeviceParams(vmem_budget=int(env))
+        try:
+            import jax
+            kind = jax.devices()[0].device_kind
+        except Exception:
+            kind = "cpu"
+    return _DEVICE_PARAMS.get(kind, DeviceParams())
 
 
 def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
@@ -153,7 +214,7 @@ def is_feasible(sid: SolutionId, m: int, n: int, k: int) -> bool:
     # weight_cache only pays when there are >= 2 m-blocks to amortize over
     if sid.weight_cache and m <= sid.block_m:
         return False
-    if vmem_estimate(sid, k) > VMEM_BUDGET:
+    if vmem_estimate(sid, k) > device_params().vmem_budget:
         return False
     return True
 
@@ -206,7 +267,7 @@ def choose_default_solution(m: int, n: int, k: int,
         # bn when n or VMEM (k-resident scales) can't support it.
         bm = 16 if m <= 16 else 32
         bk = best_bk(1024)
-        for bn in (4096, 2048, 1024, 512):
+        for bn in device_params().decode_bns:
             if n % bn == 0 and is_feasible(
                     SolutionId(bm, bn, bk, element_b, mfma_type,
                                high_precision), m, n, k):
@@ -227,7 +288,7 @@ def choose_default_solution(m: int, n: int, k: int,
         per_block = -(-m // nm)                 # rows per block, snug
         bm = -(-per_block // BLOCK_M_UNIT) * BLOCK_M_UNIT
         bk = best_bk(1024)
-        for bn in (1024, 512, 256, 128):
+        for bn in device_params().prefill_bns:
             if n % bn == 0 and is_feasible(
                     SolutionId(bm, bn, bk, element_b, mfma_type,
                                high_precision), m, n, k):

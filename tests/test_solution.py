@@ -92,3 +92,54 @@ def test_tuned_table_overrides_heuristic():
 def test_mbucket():
     assert G._m_bucket(1) == 1 and G._m_bucket(32) == 32
     assert G._m_bucket(33) == 64 and G._m_bucket(300) == 512
+
+
+def test_hints_require_high_precision_resolution():
+    """SolutionHints.require_high_precision is consumed (reference threads
+    PetitSolutionHints through selection, fp4.cc:189-191,
+    algo_chooser.cc:76-80): -1 resolution yields hp solutions, explicit
+    non-hp ids are rejected, matching-b_type is enforced."""
+    hints = S.SolutionHints(require_high_precision=True)
+    sid = G.resolve_solution(16, 4096, 4096, ElementB.NVFP4, hints=hints)
+    assert sid.high_precision
+    # explicit non-hp id + hp hints -> ValueError
+    plain = G.resolve_solution(16, 4096, 4096, ElementB.NVFP4)
+    assert not plain.high_precision
+    with pytest.raises(ValueError):
+        G.resolve_solution(16, 4096, 4096, ElementB.NVFP4,
+                           solution_id=plain.repr(), hints=hints)
+    # b_type mismatch -> ValueError
+    with pytest.raises(ValueError):
+        G.resolve_solution(16, 4096, 4096, ElementB.MXFP4, hints=hints)
+
+
+def test_default_hints_no_hp_on_tpu():
+    h = S.default_hints("TPU v5 lite")
+    assert not h.require_high_precision
+
+
+def test_hints_hp_mul_matches_oracle():
+    """mul_nvfp4_a16(hints=require_high_precision) runs the hp kernel path
+    and still matches the dequant oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    import petit_kernel_tpu as pk
+    from petit_kernel_tpu.numerics import reference as refn
+
+    rng = np.random.default_rng(5)
+    m, n, k = 8, 128, 256
+    nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
+    from petit_kernel_tpu.numerics import formats
+    qw = formats.pack_fp4_pairs(nib)
+    scales = ((rng.integers(4, 11, size=(n, k // 16), dtype=np.uint8) << 3)
+              | rng.integers(0, 8, size=(n, k // 16), dtype=np.uint8))
+    b = pk.repack_nvfp4(qw, n, k)
+    s = pk.process_nvfp4_scales(scales, n, k)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    hints = pk.PetitSolutionHints(require_high_precision=True)
+    out = pk.mul_nvfp4_a16(jnp.asarray(a), b, s, 1.0, m, n, k,
+                           interpret=True, hints=hints)
+    wd = refn.dequant_nvfp4(qw, scales)   # (n, k) f32
+    expect = a @ wd.T
+    np.testing.assert_allclose(np.asarray(out, np.float32), expect,
+                               rtol=1e-2, atol=1e-2)

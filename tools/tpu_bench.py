@@ -155,6 +155,79 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                     b = fused._apply_scales(b, sc, 16)
             acc_ref[:] += jnp.dot(a_refs[j][:], b,
                                   preferred_element_type=jnp.float32)
+    elif stage in ("v6", "v6dot"):
+        # v6 single-shift layout op-structure (TIMING ONLY with the current
+        # layout — values are wrong without the matching offline repack):
+        # per quarter, one shift+and extracts sign+mag together (offline
+        # bit prepositioning), and the zero path masks only the BIAS via a
+        # carry-flag multiply instead of masking the whole half.
+        for j in range(4):
+            if j == 0:
+                y = w_ref[:] & np.uint32(0x81C081C0)
+            elif j < 3:
+                y = (w_ref[:] << np.uint32(3 * j)) & np.uint32(0x81C081C0)
+            else:
+                # odd quarter: mag bits land split; two extracts + or + sign
+                y = (((w_ref[:] >> np.uint32(4)) & np.uint32(0x00C000C0))
+                     | ((w_ref[:] >> np.uint32(5)) & np.uint32(0x01000100))
+                     | ((w_ref[:] << np.uint32(1)) & np.uint32(0x80008000)))
+            z = y ^ np.uint32(0x00400040)
+            c = (z + np.uint32(0x01C001C0)) & np.uint32(0x02000200)
+            bias = (c >> np.uint32(9)) * np.uint32(0x3F00)
+            bits = y + bias
+            b = pltpu.bitcast(bits, jnp.bfloat16)
+            if stage == "v6":
+                sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+                r = b.shape[0]
+                for ch in range(r // 128):
+                    slab = pltpu.repeat(sc[ch * 8:(ch + 1) * 8], 16, axis=0)
+                    b2 = b[ch * 128:(ch + 1) * 128] * slab
+                    acc_ref[:] += jnp.dot(
+                        a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                        preferred_element_type=jnp.float32)
+            else:
+                acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                      preferred_element_type=jnp.float32)
+    elif stage in ("i16dot", "i16full", "i16sep"):
+        # 16-bit-lane decode experiment: bitcast the packed words to u16 so
+        # each bf16 half is its OWN vector element — no SWAR cross-half
+        # hazards, zero handled by one cmp+select instead of the 6-op
+        # carry/mask trick. Win iff Mosaic runs packed i16 ops natively.
+        wh = pltpu.bitcast(w_ref[:], jnp.uint16)   # (bk/4, bn) halves
+        for j in range(4):
+            if stage == "i16sep":
+                # timing model of a separated sign/mag offline layout where
+                # 3 of 4 quarters decode with a single shift+and+add
+                # (values wrong without the matching repack; timing only)
+                if j < 3:
+                    y = ((wh << np.uint16(3 * j)) if j else wh) \
+                        & np.uint16(0x81C0)
+                    magq = y & np.uint16(0x01C0)
+                    bits = y + np.uint16(0x3F00)
+                else:
+                    x = wh >> np.uint16(12)
+                    magq = (x << np.uint16(6)) & np.uint16(0x01C0)
+                    bits = (magq + np.uint16(0x3F00)) \
+                        | ((x << np.uint16(12)) & np.uint16(0x8000))
+            else:
+                x = (wh >> np.uint16(4 * j)) if j else wh
+                magq = (x << np.uint16(6)) & np.uint16(0x01C0)
+                sgn = (x << np.uint16(12)) & np.uint16(0x8000)
+                bits = (magq + np.uint16(0x3F00)) | sgn
+            bits = jnp.where(magq == np.uint16(0x0040), np.uint16(0), bits)
+            b = pltpu.bitcast(bits, jnp.bfloat16)
+            if stage == "i16full":
+                sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+                r = b.shape[0]
+                for ch in range(r // 128):
+                    slab = pltpu.repeat(sc[ch * 8:(ch + 1) * 8], 16, axis=0)
+                    b2 = b[ch * 128:(ch + 1) * 128] * slab
+                    acc_ref[:] += jnp.dot(
+                        a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                        preferred_element_type=jnp.float32)
+            else:
+                acc_ref[:] += jnp.dot(a_refs[j][:], b,
+                                      preferred_element_type=jnp.float32)
     elif stage in ("sdecdot", "srepdot", "sconstdot"):
         # bisect the scale path on top of the q-code decode:
         #   sdecdot   + decode_scales only (result consumed cheaply)
@@ -246,7 +319,7 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                     deq.astype(jnp.float32), axis=0, keepdims=True)
                 continue
             sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
-            b = fused._apply_scales(deq, sc, group)
+            b = fused._apply_scales(deq, sc)
             if stage == "scaled":
                 acc_ref[0:1, :] += jnp.sum(
                     b.astype(jnp.float32), axis=0, keepdims=True)
