@@ -261,7 +261,8 @@ def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
     return jnp.stack([xr1, xr2], axis=-1).reshape(x.shape).astype(x.dtype)
 
 
-def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret):
+def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
+              kv_window: Optional[int] = None):
     B, T, H = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     lin = functools.partial(linear, fmt=fmt, interpret=interpret)
@@ -287,9 +288,20 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret):
             lambda c, new, s: jax.lax.dynamic_update_slice(c, new, (s, 0, 0)))
         ck = upd(ck, k.astype(ck.dtype), pos[:, 0])
         cv = upd(cv, v.astype(cv.dtype), pos[:, 0])
-        k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = (ck, cv)
         S = ck.shape[1]
+        if kv_window is not None and T == 1 and S % 128 == 0:
+            # fused decode attention: no (B,H,1,S) materialization, reads
+            # only ceil(kv_window/128) pages of KV (ops/kernels/attention),
+            # FP8 cache upcast inside the kernel
+            from ..ops.kernels import attention as attn_mod
+            nb = min(-(-kv_window // 128), S // 128)
+            o = attn_mod.decode_attention_contiguous(
+                q.reshape(B, nq, d), ck, cv, pos[:, 0], nb=nb,
+                page_size=128, interpret=interpret)
+            o = o.reshape(B, T, nq * d).astype(x.dtype)
+            return lin(o, lp["wo"]), new_cache
+        k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
         # per-query causal mask against absolute positions: query at pos[b,t]
         # may attend kv slots <= pos[b,t] (a (B,1,1,S) mask keyed only on the
         # LAST position would let earlier prompt tokens see the future during
@@ -328,9 +340,13 @@ def mlp(x, lp, *, fmt, interpret):
 
 
 def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
-            fmt: str = "nvfp4", interpret: bool = False):
+            fmt: str = "nvfp4", interpret: bool = False,
+            kv_window: Optional[int] = None):
     """tokens (B, T) -> logits (B, T, V); cache: list of per-layer (k, v) or
-    None for full-sequence (prefill/eval) mode."""
+    None for full-sequence (prefill/eval) mode. kv_window (static): when
+    set and T == 1, decode attention runs through the fused kernel reading
+    only ~kv_window KV positions (engines pass the batch's bucketed max
+    length — the compile count stays O(log max_seq))."""
     B, T = tokens.shape
     x = params["embed"][tokens]
     if pos is None:
@@ -340,7 +356,8 @@ def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, c = attention(h, lp, None if cache is None else cache[i],
-                         pos, cfg, mask, fmt=fmt, interpret=interpret)
+                         pos, cfg, mask, fmt=fmt, interpret=interpret,
+                         kv_window=kv_window)
         x = x + a
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + mlp(h, lp, fmt=fmt, interpret=interpret)

@@ -117,8 +117,14 @@ def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size):
 
 
 def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
-                    page_size, interpret):
-    """llama.attention with the KV in pages. Returns (out, new_pages)."""
+                    page_size, interpret, kv_window=None):
+    """llama.attention with the KV in pages. Returns (out, new_pages).
+
+    With kv_window set and T == 1 the fused decode kernel reads ONLY the
+    first ceil(kv_window/page_size) block-table entries per sequence
+    (unallocated slots point at the scratch page) — decode HBM traffic is
+    proportional to actual context, fixing the round-1 full-window gather
+    (k_pages[bt_rows] read max_seq of KV per step regardless of length)."""
     B, T, H = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     lin = lambda inp, layer: llama.linear(inp, layer, fmt=fmt,
@@ -139,6 +145,14 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
 
     new_pages = _write_kv(pages_kv, bt_rows, k, v, pos, page_size)
     k_pages, v_pages = new_pages
+    if kv_window is not None and T == 1:
+        from ..ops.kernels import attention as attn_mod
+        nb = min(-(-kv_window // page_size), bt_rows.shape[1])
+        o = attn_mod.paged_decode_attention(
+            q.reshape(B, nq, d), k_pages, v_pages, bt_rows, pos[:, 0],
+            nb=nb, page_size=page_size, interpret=interpret)
+        o = o.reshape(B, T, nq * d).astype(x.dtype)
+        return lin(o, lp["wo"]), new_pages
     # gather each sequence's pages -> (B, S_view, nkv, d)
     k_all = k_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
     v_all = v_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
@@ -161,17 +175,19 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
 
 def forward_paged(params, tokens, cfg: llama.LlamaConfig, pages, bt, pos, *,
                   page_size: int, fmt: str = "nvfp4",
-                  interpret: bool = False):
+                  interpret: bool = False, kv_window=None):
     """llama.forward with paged KV: (logits, new_pages). `pages` is the
     per-layer list, `bt` the (B, max_pages) block table (pre-grown via
-    ensure_capacity), pos (B, T) absolute positions."""
+    ensure_capacity), pos (B, T) absolute positions. kv_window: see
+    llama.forward."""
     B, T = tokens.shape
     x = params["embed"][tokens]
     new_pages = []
     for i, lp in enumerate(params["layers"]):
         h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, np_i = attention_paged(h, lp, pages[i], bt, pos, cfg, fmt=fmt,
-                                  page_size=page_size, interpret=interpret)
+                                  page_size=page_size, interpret=interpret,
+                                  kv_window=kv_window)
         new_pages.append(np_i)
         x = x + a
         h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)

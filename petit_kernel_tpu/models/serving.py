@@ -77,10 +77,16 @@ class Engine:
         self.top_k = top_k
         self._key = jax.random.PRNGKey(seed)
         if forward_fn is None:
-            def forward_fn(p, toks, cache_, pos_):
+            def forward_fn(p, toks, cache_, pos_, kv_window=None):
                 return llama.forward(p, toks, cfg, cache_, pos_,
-                                     fmt=fmt, interpret=interpret)
+                                     fmt=fmt, interpret=interpret,
+                                     kv_window=kv_window)
         self._forward = forward_fn
+        # custom forward_fns (e.g. parallel.tp.make_tp_step) may not take
+        # kv_window; detect once and fall back to the full-window path
+        import inspect
+        self._fwd_takes_window = (
+            "kv_window" in inspect.signature(forward_fn).parameters)
         self.cache = (cache if cache is not None
                       else llama.init_cache(cfg, max_batch, cache_dtype))
         self.pos = np.zeros(max_batch, np.int32)       # next position
@@ -91,10 +97,16 @@ class Engine:
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
 
-        @jax.jit
-        def _decode_step(params, cache, toks, pos, key, temps):
-            logits, cache = forward_fn(params, toks[:, None], cache,
-                                       pos[:, None])
+        @functools.partial(jax.jit, static_argnames=("kv_window",))
+        def _decode_step(params, cache, toks, pos, key, temps,
+                         kv_window=None):
+            if self._fwd_takes_window:
+                logits, cache = forward_fn(params, toks[:, None], cache,
+                                           pos[:, None],
+                                           kv_window=kv_window)
+            else:
+                logits, cache = forward_fn(params, toks[:, None], cache,
+                                           pos[:, None])
             return sample_next(logits[:, -1], key, temps, top_k), cache
 
         self._decode_step = _decode_step
@@ -149,11 +161,24 @@ class Engine:
                                jnp.full((1,), self.temps[slot], jnp.float32),
                                self.top_k)[0])
 
+    def _kv_window(self) -> Optional[int]:
+        """Bucketed max attended length over active slots: a power-of-two
+        multiple of 128, so the decode step compiles O(log max_seq) distinct
+        programs while attention traffic tracks actual context."""
+        if not self._fwd_takes_window or not self.active.any():
+            return None
+        need = int(self.pos[self.active].max()) + 1
+        w = 128
+        while w < need:
+            w *= 2
+        return min(w, self.cfg.max_seq_len)
+
     def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
         """One batched decode step; returns next-token ids (B,)."""
         nxt, self.cache = self._decode_step(self.params, self.cache, toks,
                                             pos, self._next_key(),
-                                            jnp.asarray(self.temps))
+                                            jnp.asarray(self.temps),
+                                            kv_window=self._kv_window())
         return nxt
 
     def _release(self, slot: int) -> None:
@@ -231,11 +256,16 @@ class PagedEngine(Engine):
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _decode_step(params, pages, bt, toks, pos, key, temps):
+        self._fwd_takes_window = True
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_window",))
+        def _decode_step(params, pages, bt, toks, pos, key, temps,
+                         kv_window=None):
             logits, pages = paged.forward_paged(
                 params, toks[:, None], cfg, pages, bt, pos[:, None],
-                page_size=page_size, fmt=fmt, interpret=interpret)
+                page_size=page_size, fmt=fmt, interpret=interpret,
+                kv_window=kv_window)
             return sample_next(logits[:, -1], key, temps, top_k), pages
 
         self._decode_step = _decode_step
@@ -260,7 +290,8 @@ class PagedEngine(Engine):
                                         int(self.pos[slot]) + 1)
         nxt, self.pc.pages = self._decode_step(
             self.params, self.pc.pages, self.pc.block_tables, toks, pos,
-            self._next_key(), jnp.asarray(self.temps))
+            self._next_key(), jnp.asarray(self.temps),
+            kv_window=self._kv_window())
         return nxt
 
     def _release(self, slot: int) -> None:

@@ -1,0 +1,170 @@
+"""Fused decode attention (flash-style, paged or contiguous KV).
+
+New-build territory: the reference delegates attention/serving to SGLang
+(README.md:21); the north star (BASELINE.json config 5) needs a native TPU
+path. The round-1 gather implementation materialized (B, H, T, S) f32
+logits and read the FULL max_seq window of KV per step regardless of
+sequence length; this kernel fixes both:
+
+  - Online-softmax accumulation over page-sized KV blocks — no (B,H,T,S)
+    intermediate, O(G x d) state per (batch, kv-head).
+  - The KV pages to read are chosen per grid step from a scalar-prefetched
+    block table, so ONLY allocated pages are fetched; callers bound the
+    page-block axis by the batch's (bucketed) max length, making decode HBM
+    traffic proportional to actual context, not max_seq_len.
+  - FP8 (or bf16) KV stays in its storage dtype through the DMA and is
+    upcast in VMEM right before the dot — the FP8 bandwidth saving reaches
+    the HBM stream.
+  - GQA: queries grouped per kv head; one (G, d) @ (d, page) MXU dot per
+    page. A contiguous (B, S, h, d) cache is the same kernel with an
+    identity block table (see contiguous_block_tables).
+
+TPU-first design notes: the grid is (B, Hkv, nb) with the page axis
+sequential (online softmax is a loop-carried reduction); Mosaic requires
+the q/o blocks' sublane dim % 8, so the G query-group axis is padded to 8
+(padded rows compute garbage attention that is sliced off on the host —
+they read real KV, so no NaNs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
+                   acc_ref, m_ref, l_ref, *, nb: int, page_size: int,
+                   sm_scale: float):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)                   # (Gp, d)
+    k = k_ref[0, :, 0, :].astype(jnp.float32)             # (ps, d)
+    v = v_ref[0, :, 0, :].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale    # (Gp, ps)
+    kv_pos = i * page_size + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, 1)
+    logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
+
+    m_prev = m_ref[:]                                     # (Gp, 1) f32
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)                           # (Gp, ps)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(i == nb - 1)
+    def _epilogue():
+        # l > 0 always: kv position 0 is valid for every pos >= 0
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "page_size", "interpret"))
+def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
+                           v_pages: jax.Array, block_tables: jax.Array,
+                           pos: jax.Array, *, nb: int, page_size: int,
+                           interpret: bool = False) -> jax.Array:
+    """One-token-per-sequence attention over paged KV.
+
+    q            : (B, H, d)   current-step queries (post-RoPE)
+    k_pages      : (P, ps, Hkv, d) page pool (bf16 or float8_e4m3fn)
+    v_pages      : (P, ps, Hkv, d)
+    block_tables : (B, max_pages) int32 page ids (>= nb columns)
+    pos          : (B,) int32 absolute position of each query
+    nb           : page blocks to visit (static) — callers pass the batch
+                   max length bucketed, ceil((max(pos)+1)/ps), so HBM
+                   traffic tracks actual context
+    returns      : (B, H, d) bf16
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    B, H, d = q.shape
+    P, ps, Hkv, dk = k_pages.shape
+    assert dk == d and ps == page_size and H % Hkv == 0
+    assert block_tables.shape[0] == B and block_tables.shape[1] >= nb
+    G = H // Hkv
+    Gp = -(-G // 8) * 8  # Mosaic sublane quantum; padded rows sliced off
+    qr = q.reshape(B, Hkv, G, d)
+    if Gp != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    sm_scale = 1.0 / np.sqrt(d)
+    grid = (B, Hkv, nb)
+    kernel = functools.partial(_decode_kernel, nb=nb, page_size=ps,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, Gp, d), lambda b, h, i, bt, pos: (b, h, 0, 0)),
+                pl.BlockSpec((1, ps, 1, d),
+                             lambda b, h, i, bt, pos: (bt[b, i], 0, h, 0)),
+                pl.BlockSpec((1, ps, 1, d),
+                             lambda b, h, i, bt, pos: (bt[b, i], 0, h, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Gp, d),
+                                   lambda b, h, i, bt, pos: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Gp, d), jnp.float32),
+                pltpu.VMEM((Gp, 1), jnp.float32),
+                pltpu.VMEM((Gp, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), pos.astype(jnp.int32),
+      qr, k_pages, v_pages)
+    return out[:, :, :G, :].reshape(B, H, d)
+
+
+def contiguous_block_tables(batch: int, max_seq: int,
+                            page_size: int) -> jax.Array:
+    """Identity block table viewing a contiguous (B, S, h, d) cache as a
+    pool of B*S/ps pages: cache.reshape(B*S/ps, ps, h, d) rows b*S/ps + i."""
+    per = max_seq // page_size
+    return (jnp.arange(batch, dtype=jnp.int32)[:, None] * per
+            + jnp.arange(per, dtype=jnp.int32)[None, :])
+
+
+def decode_attention_contiguous(q: jax.Array, ck: jax.Array, cv: jax.Array,
+                                pos: jax.Array, *, nb: int,
+                                page_size: int = 128,
+                                interpret: bool = False) -> jax.Array:
+    """paged_decode_attention over a contiguous (B, S, Hkv, d) cache."""
+    B, S, Hkv, d = ck.shape
+    assert S % page_size == 0
+    bt = contiguous_block_tables(B, S, page_size)
+    pool = (B * S) // page_size
+    return paged_decode_attention(
+        q, ck.reshape(pool, page_size, Hkv, d),
+        cv.reshape(pool, page_size, Hkv, d), bt, pos,
+        nb=nb, page_size=page_size, interpret=interpret)
+
+
+def pow2_bucket(n: int, lo: int = 1) -> int:
+    """Smallest power of two >= n (>= lo): the compile-count-bounding
+    bucket for the static page-block axis (<= log2(max_seq/ps) programs)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b

@@ -8,31 +8,33 @@ buffered by the Pallas pipeline), a SWAR decode turns each u32 of 8 E2M1
 nibbles into bf16 pairs on the VPU, and 128x128 MXU dots consume the
 dequantized slabs with an f32 accumulator.
 
-Decode math (v4 q-coded layout, per 32-bit lane, two q-nibbles at bits
-[3:0] and [19:16]; see ops/layout.py for the offline code remap):
+Decode math (v6 single-shift layout; see ops/layout.py for the offline bit
+prepositioning). Per quarter j, ONE shift+mask extracts sign AND magnitude
+together, then a carry-flagged bias add finishes the bf16:
 
-    magq = ((w << 6) >> 4j) & 0x01C001C0     # q<<6 per bf16 half
-    sgn  = ((w << 12) >> 4j) & 0x80008000
-    nz   = (((magq ^ 0x40) + 0x1C0) >> 9) & 0x10001   # 0 iff q==1 (zero)
-    bits = ((magq + 0x3F003F00) | sgn) & (nz * 0xFFFF)
+    y    = (w << {0,3,6}) & 0x81C081C0       # j<3; j=3 is a 3-extract
+    z    = y ^ 0x00400040
+    c    = (z + 0x01C001C0) & 0x02000200     # bit 9: nonzero flag (t != 1)
+    bits = y + (c >> 9) * 0x3F00             # bias add can't carry into sign
 
 Why this works: E2M1's seven nonzero magnitudes are consecutive points of
-bf16's exponent/mantissa ramp, 0x3F00 + q*0x40 for q in {0,2..7} — one add
-covers them all, including 0.5 (which the previous kernel fixed with a
-9-op SWAR blend). Only the stored zero (q=1, squatting the 0.75 hole in
-the ramp) needs masking, via a 3-op carry test. This is the TPU analog of
-the reference's branch-free Fp4ToFp16 bit trick plus PetitFormat
-prepositioning (quantization/dequant.cuh:113-125,
-quantization_utils.cu:183-206). Products value x scale are exact in bf16
-(2-bit x 3-bit significands).
+bf16's exponent/mantissa ramp, 0x3F00 + t*0x40 for t in {0,2..7} — one add
+covers them all. The stored zero (t=1, squatting the 0.75 hole in the
+ramp) gets NO bias and decodes to the bf16 subnormal 0x0040 = 2^-127:
+the VPU flushes subnormal multiply inputs (measured — the analog of the
+reference's gfx90a MFMA denormal flush, README.md:33), so the kernel's
+scale multiply turns it into an exact 0.0 on hardware. The hazard that
+broke the bias-free q<<6 embedding is load-bearing here. In interpret
+mode (CPU tests) nothing flushes and zeros decode to ~1e-39 dust —
+irrelevant at GEMM test tolerances; bit-exact paths use
+decode_quarter_exact. This is the TPU analog of the reference's
+branch-free Fp4ToFp16 bit trick plus PetitFormat prepositioning
+(quantization/dequant.cuh:113-125, quantization_utils.cu:183-206).
+Products value x scale are exact in bf16 (2-bit x 3-bit significands).
 
 Scales arrive as bf16 decoded offline (process_*_scales): no in-kernel
 scale decode at all. No "E5M3 x 2^7" re-bias is needed either
-(dequant.cuh:20-22 works around GPU denormal flushing) — though the TPU
-VPU also flushes bf16 subnormals in multiplies (measured; the analog of
-the gfx90a flush), which is exactly why the decode uses the biased ramp +
-zero mask rather than the tempting bias-free q<<6 = value x 2^-126
-embedding (it would put 0.5 on a flushed subnormal).
+(dequant.cuh:20-22 works around GPU denormal flushing).
 """
 
 from __future__ import annotations
@@ -47,31 +49,54 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..solution import SolutionId, ElementB
 
-_MAGQ_MASK = np.uint32(0x01C001C0)  # q<<6 per half
-_SGN_MASK = np.uint32(0x80008000)
-_NRM_BIAS = np.uint32(0x3F003F00)   # (126 << 7) in both bf16 halves
+_YMASK = np.uint32(0x81C081C0)      # sign | t<<6 per half (post-shift)
+_ZXOR = np.uint32(0x00400040)
+_CADD = np.uint32(0x01C001C0)
+_CMASK = np.uint32(0x02000200)      # carry bit 9: nonzero (t != 1) flag
+_NRM_BIAS = np.uint32(0x3F00)       # (126 << 7), multiplied onto the flag
+
+
+def _extract_quarter(words: jax.Array, j: int) -> jax.Array:
+    """v6 single-shift extraction: (R, C) u32 -> sign|t<<6 per half."""
+    if j == 0:
+        return words & _YMASK
+    if j < 3:
+        return (words << np.uint32(3 * j)) & _YMASK
+    # three-extract quarter (see layout doc: only three disjoint single
+    # shifts exist for the {p,p+1,p+2,p+9} payload pattern in 16 bits)
+    return (((words >> np.uint32(4)) & np.uint32(0x00C000C0))
+            | ((words >> np.uint32(5)) & np.uint32(0x01000100))
+            | ((words << np.uint32(1)) & np.uint32(0x80008000)))
 
 
 def decode_quarter(words: jax.Array, j: int) -> jax.Array:
-    """Decode quarter j of q-coded packed words (R, C) u32 -> (2R, C) bf16
+    """Decode quarter j of v6 packed words (R, C) u32 -> (2R, C) bf16
     values (unscaled). Row 2r = slot j (low half), row 2r+1 = slot j+4 (high
     half), i.e. consecutive k by the layout contract (ops/layout.py).
 
-    Pure-integer SWAR, ~12 vector ops (exhaustively validated against the
-    E2M1 table; see module doc for the algebra). Quarter extraction right-
-    shifts FIRST: left-shifting the whole word would push the high slot's
-    bits past bit 31 for j >= 1.
+    Pure-integer SWAR, 7-8 vector ops (exhaustively validated against the
+    E2M1 table; module doc has the algebra). STORED ZEROS decode to the
+    bf16 subnormal +-2^-127, NOT 0.0 — callers must multiply by a scale
+    (any normal bf16, or 0 for padding) on the VPU, whose measured
+    subnormal-input flush produces the exact 0. Bit-exact consumers use
+    decode_quarter_exact.
     """
-    x = (words >> np.uint32(4 * j)) if j else words
-    magq = (x << np.uint32(6)) & _MAGQ_MASK
-    sgn = (x << np.uint32(12)) & _SGN_MASK
-    # nz = 0 per half iff q == 1 (the stored-zero code): magq^0x40 is 0 only
-    # then, and +0x1C0 carries into bit 9 for every other q (max q<<6 is
-    # 0x1C0, so the add never crosses into the next half). The mask multiply
-    # must be by a scalar constant (SWAR: flag x flag would cross halves).
-    z = magq ^ np.uint32(0x00400040)
-    nz = ((z + np.uint32(0x01C001C0)) >> np.uint32(9)) & np.uint32(0x00010001)
-    bits = ((magq + _NRM_BIAS) | sgn) & (nz * np.uint32(0xFFFF))
+    y = _extract_quarter(words, j)
+    z = y ^ _ZXOR
+    c = (z + _CADD) & _CMASK
+    bits = y + (c >> np.uint32(9)) * _NRM_BIAS
+    return pltpu.bitcast(bits, jnp.bfloat16)
+
+
+def decode_quarter_exact(words: jax.Array, j: int) -> jax.Array:
+    """decode_quarter with stored zeros forced to exact +0.0 (two extra
+    ops): the reference/test path used by the standalone dequant kernel,
+    where no downstream multiply exists to flush the subnormal."""
+    y = _extract_quarter(words, j)
+    z = y ^ _ZXOR
+    c = (z + _CADD) & _CMASK
+    flag = c >> np.uint32(9)
+    bits = (y + flag * _NRM_BIAS) & (flag * np.uint32(0xFFFF))
     return pltpu.bitcast(bits, jnp.bfloat16)
 
 
@@ -353,7 +378,9 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 def _dequant_kernel(w_ref, s0, s1, s2, s3, out_ref):
     s_refs = (s0, s1, s2, s3)
     for j in range(4):
-        deq = decode_quarter(w_ref[:], j)
+        # exact-zero decode: the output is compared bit-for-bit against the
+        # host oracle, and interpret mode has no subnormal flush
+        deq = decode_quarter_exact(w_ref[:], j)
         out_ref[j] = _apply_scales(deq, s_refs[j][:])
 
 

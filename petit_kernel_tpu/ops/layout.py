@@ -14,25 +14,44 @@ with the Pallas kernel's SWAR decode and the MXU instead:
         chunk = r // 64,  i = 2*(r % 64) + h,
         pi(i) = (i % 8) * 16 + (i // 8)      (the (8,16)-transpose).
 
-    **q-coding** (v4): the stored magnitude is remapped offline, swapping
-    E2M1 codes 0 and 1 (q = [1, 0, 2, 3, 4, 5, 6, 7][m], self-inverse), so
-    the seven nonzero magnitudes {0.5, 1, 1.5, 2, 3, 4, 6} sit at
-    consecutive-bf16-bit-pattern codes q in {0, 2..7} and the in-kernel
-    decode collapses to
-
-        bits = ((q << 6) + 0x3F00) | sign          # per 16-bit half
-        zero:  killed by a 3-op carry test (q == 1)
-
-    — the TPU analog of the reference's PetitFormat bit prepositioning
-    (quantization_utils.cu:183-206), re-derived for the VPU: the magnitude
+    **q-coding** (since v4): the stored magnitude is remapped offline,
+    swapping E2M1 codes 0 and 1 (q = [1, 0, 2, 3, 4, 5, 6, 7][m],
+    self-inverse), so the seven nonzero magnitudes {0.5, 1, 1.5, 2, 3, 4, 6}
+    sit at consecutive-bf16-bit-pattern codes q in {0, 2..7}: the magnitude
     ramp 0x3F00 + q*0x40 covers all nonzero E2M1 values because E2M1 is a
     minifloat embedded in bf16's exponent ramp, with a hole at q=1 (0.75 is
     not an E2M1 value) that the zero code squats.  The straight embedding
-    bits = q<<6 (value*2^-126) would need no bias or zero fix at all, but
-    the VPU flushes bf16 subnormals in multiplies (measured — the analog of
-    the reference's gfx90a MFMA denormal flush, README.md:33), which kills
-    the 0.5 code at 2^-127; the +0x3F00 bias with an explicit zero mask is
-    the flush-proof form.
+    bits = q<<6 (value*2^-126) would need no bias at all, but the VPU
+    flushes bf16 subnormals in multiplies (measured — the analog of the
+    reference's gfx90a MFMA denormal flush, README.md:33), which would kill
+    the 0.5 code at 2^-127.
+
+    **v6 single-shift bit prepositioning** (2026-08-17): within each 16-bit
+    half, a slot's sign bit and 3 magnitude bits are stored PRE-POSITIONED
+    so the kernel extracts both with one shift+mask per quarter — the TPU
+    analog of the reference's PetitFormat bit permutation
+    (quantization_utils.cu:183-206), re-derived for the VPU's cost model
+    (measured: each SWAR vector op costs ~2 us per 37.7 MB of weights, so
+    op count is everything).  Placement per half (j = quarter, t = 3-bit
+    q-coded magnitude, s = sign):
+
+        j=0: t at bits {6,7,8},  s at 15   -> y =  w        & 0x81C081C0
+        j=1: t at bits {3,4,5},  s at 12   -> y = (w << 3)  & 0x81C081C0
+        j=2: t at bits {0,1,2},  s at 9    -> y = (w << 6)  & 0x81C081C0
+        j=3: t{0,1} at {10,11}, t{2} at 13, s at 14 (three-extract quarter:
+             the {p,p+1,p+2,p+9} pattern admits only three disjoint single
+             shifts in 16 bits — provably, so one quarter pays extra)
+
+    after which  bits = y + nonzero*0x3F00  is the whole decode: the bias
+    add cannot carry into the sign bit (max 0x1C0 + 0x3F00 = 0x40C0 <
+    0x8000), and the stored zero (t=1, sign always +0 after negative-zero
+    masking) decodes to the bf16 SUBNORMAL 0x0040 = 2^-127, which the
+    measured VPU subnormal-input flush turns into an exact 0.0 in the
+    kernel's scale multiply — the hardware quirk that broke the bias-free
+    embedding is load-bearing for zero handling here.  (In interpret mode
+    on CPU there is no flush; the 2^-127-sized dust is ~1e-36 x scale,
+    irrelevant at test tolerances, and the bit-exact standalone dequant
+    kernel uses an explicit zero mask instead.)
 
     Two further design moves are encoded here:
 
@@ -94,11 +113,38 @@ K_PAD_MX = 1024
 # formats (MXFP4's 32-wide groups are duplicated per half-group offline).
 SCALE_STRIDE = 16
 
-# v4 q-code magnitude remap (self-inverse: swaps E2M1 codes 0 and 1).
+# q-code magnitude remap (self-inverse: swaps E2M1 codes 0 and 1).
 # Applied per nibble at repack (sign bit untouched); see module doc.
-# Note code 1 (the stored ZERO) decodes to +-0.75 before the kernel's zero
-# mask — all-zero padding words therefore rely on the mask, not the bias.
+# Note code 1 (the stored ZERO) decodes to a flushed-to-zero subnormal in
+# the fused kernel; all-zero padding words decode to t=0 = 0.5 times the
+# ZERO scales of the padded region, so padding contributes nothing.
 Q_OF_M = np.array([1, 0, 2, 3, 4, 5, 6, 7], dtype=np.uint8)
+
+# v6 bit placement within each 16-bit half (see module doc): per quarter j,
+# the left-shift the kernel applies, and where sign lives. j=3 is the
+# three-extract quarter: t bits {0,1} at {10,11}, t bit 2 at 13, sign 14.
+V6_SHIFT = (0, 3, 6)            # j = 0..2: t stored at bits {6,7,8} >> shift
+V6_SGN_POS = (15, 12, 9, 14)
+
+
+def _v6_place(nib: np.ndarray, j: int) -> np.ndarray:
+    """q-coded nibble (sign<<3 | t) -> its v6 in-half bit pattern (u32)."""
+    t = (nib & 7).astype(np.uint32)
+    sg = (nib >> 3).astype(np.uint32)
+    if j < 3:
+        return (t << (6 - V6_SHIFT[j])) | (sg << V6_SGN_POS[j])
+    return ((t & 3) << 10) | ((t >> 2) << 13) | (sg << 14)
+
+
+def _v6_extract(half: np.ndarray, j: int) -> np.ndarray:
+    """Inverse of _v6_place on a 16-bit half value -> q-coded nibble."""
+    if j < 3:
+        t = (half >> (6 - V6_SHIFT[j])) & 7
+        sg = (half >> V6_SGN_POS[j]) & 1
+    else:
+        t = ((half >> 10) & 3) | (((half >> 13) & 1) << 2)
+        sg = (half >> 14) & 1
+    return ((sg << 3) | t).astype(np.uint8)
 
 
 def _q_encode_nibbles(nib: np.ndarray) -> np.ndarray:
@@ -167,15 +213,15 @@ def repack_fp4_weights(qweights, size_n: int, size_k: int, *,
             return out
     nib = formats.unpack_fp4_pairs(q)            # (n, k) codes
     nib = np.where(nib == 8, np.uint8(0), nib)   # mask negative zero
-    nib = _q_encode_nibbles(nib)                 # v4 q-code remap
-    nib_t = nib.T.astype(np.uint32)              # (k, n)
+    nib = _q_encode_nibbles(nib)                 # q-code remap
+    nib_t = nib.T                                # (k, n)
     k, n = size_k, size_n
     words = np.zeros((k // 8, n), dtype=np.uint32)
     r = np.arange(k // 8)
     for s in range(8):
         j, h = s & 3, s >> 2
         ks = _slot_k(r, j, h, k)
-        words |= nib_t[ks] << (4 * s)
+        words |= _v6_place(nib_t[ks], j) << np.uint32(16 * h)
     return words
 
 
@@ -197,8 +243,8 @@ def unpack_fp4_weights(words: np.ndarray, size_n: int, size_k: int) -> np.ndarra
     r = np.arange(k // 8)
     for s in range(8):
         j, h = s & 3, s >> 2
-        rows = ((words >> (4 * s)) & 0xF).astype(np.uint8)
-        nib_t[_slot_k(r, j, h, k)] = rows
+        half = (words >> np.uint32(16 * h)) & np.uint32(0xFFFF)
+        nib_t[_slot_k(r, j, h, k)] = _v6_extract(half, j)
     return _q_decode_nibbles(nib_t[:size_k].T)
 
 

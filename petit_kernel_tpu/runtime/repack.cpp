@@ -7,10 +7,14 @@
 // transform (a 70B checkpoint is ~35 GB of packed nibbles; numpy does this
 // at ~1 GB/s, this core runs at memory speed).
 //
-// Layout contract (must match ops/layout.py _slot_k exactly, see its module
-// doc): out word (r, c), slot s = j + 4h (bits 4s..4s+3) holds the E2M1
-// nibble of column n=c at
-//   k = j*(K/4) + (r/64)*128 + pi(2*(r%64) + h),  pi(i) = (i%8)*16 + i/8.
+// Layout contract (must match ops/layout.py _slot_k + _v6_place exactly,
+// see its module doc): out word (r, c), slot s = j + 4h holds the q-coded
+// E2M1 nibble of column n=c at
+//   k = j*(K/4) + (r/64)*128 + pi(2*(r%64) + h),  pi(i) = (i%8)*16 + i/8,
+// with v6 single-shift bit prepositioning inside the 16*h half:
+//   j=0: t at {6,7,8},  sign 15;  j=1: t at {3,4,5},  sign 12;
+//   j=2: t at {0,1,2},  sign 9;   j=3: t{0,1} at {10,11}, t{2} at 13,
+//   sign 14.
 // Negative-zero nibbles (0x8) are masked to +0.
 //
 // Exposed as a plain C ABI for ctypes.
@@ -23,7 +27,7 @@
 
 namespace {
 
-// v4 q-code magnitude remap (swaps E2M1 codes 0 and 1; self-inverse) —
+// q-code magnitude remap (swaps E2M1 codes 0 and 1; self-inverse) —
 // must match ops/layout.py Q_OF_M. Applied after negative-zero masking.
 constexpr uint8_t kQOfM[8] = {1, 0, 2, 3, 4, 5, 6, 7};
 
@@ -32,6 +36,17 @@ inline uint8_t nib_at(const uint8_t* row, int64_t kk) {
   uint8_t nib = (kk & 1) ? (byte >> 4) : (byte & 0xF);
   if (nib == 8) nib = 0;  // mask negative zero
   return (nib & 8) | kQOfM[nib & 7];
+}
+
+// v6 in-half bit placement (must match ops/layout.py _v6_place).
+inline uint32_t v6_place(uint8_t code, int j) {
+  const uint32_t t = code & 7, sg = code >> 3;
+  switch (j) {
+    case 0: return (t << 6) | (sg << 15);
+    case 1: return (t << 3) | (sg << 12);
+    case 2: return t | (sg << 9);
+    default: return ((t & 3) << 10) | ((t >> 2) << 13) | (sg << 14);
+  }
 }
 
 void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
@@ -51,7 +66,7 @@ void repack_rows(const uint8_t* qw, uint32_t* out, int64_t n, int64_t k,
           const int64_t i = 2 * (r % 64) + h;
           const int64_t kk = static_cast<int64_t>(j) * kq + (r / 64) * 128 +
                              (i % 8) * 16 + i / 8;
-          w |= static_cast<uint32_t>(nib_at(row, kk)) << (4 * s);
+          w |= v6_place(nib_at(row, kk), j) << (16 * h);
         }
         out_row[c] = w;
       }

@@ -1,0 +1,96 @@
+"""Fused decode attention kernel vs naive full-window reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from petit_kernel_tpu.ops.kernels import attention as attn
+
+
+def _naive(q, k_all, v_all, pos):
+    """q (B,H,d); k/v (B,S,Hkv,d); pos (B,) -> (B,H,d) f32."""
+    B, H, d = q.shape
+    S, Hkv = k_all.shape[1], k_all.shape[2]
+    rep = H // Hkv
+    k = np.repeat(np.asarray(k_all, np.float32), rep, axis=2)
+    v = np.repeat(np.asarray(v_all, np.float32), rep, axis=2)
+    qf = np.asarray(q, np.float32) / np.sqrt(d)
+    logits = np.einsum("bhd,bshd->bhs", qf, k)
+    mask = np.arange(S)[None, None, :] <= np.asarray(pos)[:, None, None]
+    logits = np.where(mask, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhs,bshd->bhd", p, v)
+
+
+@pytest.mark.parametrize("hkv,h", [(2, 8), (4, 28), (2, 2)])
+def test_decode_attention_contiguous_matches_naive(hkv, h):
+    B, S, d, ps = 3, 256, 128, 128
+    rng = np.random.default_rng(h)
+    q = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.bfloat16)
+    pos = jnp.asarray([5, 130, 255], jnp.int32)
+    nb = S // ps
+    out = attn.decode_attention_contiguous(q, k, v, pos, nb=nb,
+                                           page_size=ps, interpret=True)
+    want = _naive(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_paged_matches_naive():
+    """Random page assignment; only allocated pages are referenced."""
+    B, S, hkv, h, d, ps = 2, 512, 2, 8, 128, 128
+    per = S // ps
+    rng = np.random.default_rng(0)
+    k_all = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    v_all = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    # scatter into a shuffled pool (plus one scratch page at the end)
+    P = B * per
+    perm = rng.permutation(P)
+    k_pages = np.zeros((P + 1, ps, hkv, d), np.float32)
+    v_pages = np.zeros((P + 1, ps, hkv, d), np.float32)
+    bt = np.zeros((B, per), np.int32)
+    for b in range(B):
+        for i in range(per):
+            pid = int(perm[b * per + i])
+            k_pages[pid] = k_all[b, i * ps:(i + 1) * ps]
+            v_pages[pid] = v_all[b, i * ps:(i + 1) * ps]
+            bt[b, i] = pid
+    q = rng.standard_normal((B, h, d)).astype(np.float32)
+    pos = np.asarray([100, 500], np.int32)
+    nb = attn.pow2_bucket(-(-501 // ps))
+    out = attn.paged_decode_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k_pages, jnp.bfloat16),
+        jnp.asarray(v_pages, jnp.bfloat16), jnp.asarray(bt),
+        jnp.asarray(pos), nb=nb, page_size=ps, interpret=True)
+    want = _naive(jnp.asarray(q, jnp.bfloat16),
+                  jnp.asarray(k_all, jnp.bfloat16),
+                  jnp.asarray(v_all, jnp.bfloat16), pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_fp8_kv():
+    """FP8 page pool: kernel upcasts in VMEM; tolerance covers e4m3 noise."""
+    B, S, hkv, h, d, ps = 2, 256, 2, 8, 128, 128
+    rng = np.random.default_rng(3)
+    k = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    pos = jnp.asarray([255, 40], jnp.int32)
+    k8 = jnp.asarray(k, jnp.float8_e4m3fn)
+    v8 = jnp.asarray(v, jnp.float8_e4m3fn)
+    out = attn.decode_attention_contiguous(q, k8, v8, pos, nb=S // ps,
+                                           page_size=ps, interpret=True)
+    want = _naive(q, jnp.asarray(k8, jnp.float32),
+                  jnp.asarray(v8, jnp.float32), pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_bucket():
+    assert attn.pow2_bucket(1) == 1 and attn.pow2_bucket(3) == 4
+    assert attn.pow2_bucket(16) == 16 and attn.pow2_bucket(17) == 32

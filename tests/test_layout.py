@@ -26,8 +26,9 @@ def test_repack_masks_negative_zero():
     n, k = 16, 128
     nib = np.full((n, k), 8, dtype=np.uint8)  # all negative zeros
     words = layout.repack_fp4_weights(formats.pack_fp4_pairs(nib), n, k)
-    # stored zero is q-code 1 in every slot (v4 layout: codes 0 and 1 swap)
-    assert np.all(words == 0x11111111)
+    # stored zero is q-code t=1, sign +0, in every slot; under the v6 bit
+    # placement that is 0x449 per half (t=1 at bits 6 / 3 / 0 / 10)
+    assert np.all(words == 0x04490449)
     back = layout.unpack_fp4_weights(words, n, k)
     assert np.all(back == 0)  # decodes as +0, not -0
 
