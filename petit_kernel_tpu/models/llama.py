@@ -290,7 +290,11 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
         cv = upd(cv, v.astype(cv.dtype), pos[:, 0])
         new_cache = (ck, cv)
         S = ck.shape[1]
-        if kv_window is not None and T == 1 and S % 128 == 0:
+        # Mosaic needs the head_dim lane axis % 128 on real TPU (interpret
+        # mode has no such constraint; tiny test configs use d=64)
+        kernel_ok = (d % 128 == 0 or interpret
+                     or jax.default_backend() == "cpu")
+        if kv_window is not None and T == 1 and S % 128 == 0 and kernel_ok:
             # fused decode attention: no (B,H,1,S) materialization, reads
             # only ceil(kv_window/128) pages of KV (ops/kernels/attention),
             # FP8 cache upcast inside the kernel

@@ -145,7 +145,9 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
 
     new_pages = _write_kv(pages_kv, bt_rows, k, v, pos, page_size)
     k_pages, v_pages = new_pages
-    if kv_window is not None and T == 1:
+    kernel_ok = (d % 128 == 0 or interpret
+                 or jax.default_backend() == "cpu")
+    if kv_window is not None and T == 1 and kernel_ok:
         from ..ops.kernels import attention as attn_mod
         nb = min(-(-kv_window // page_size), bt_rows.shape[1])
         o = attn_mod.paged_decode_attention(

