@@ -98,11 +98,13 @@ def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
     xsg = jnp.stack(xs)                                      # (El, cap, H)
 
     from ..ops.kernels import grouped as grouped_mod
+    from ..ops.solution import ElementB
 
     def gmul(ys, layer):
+        eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
         return grouped_mod.grouped_mul(
             ys, layer["words"], layer["scales"], layer["gs"],
-            interpret=interpret)
+            element_b=eb, interpret=interpret)
 
     g = gmul(xsg, experts["w_gate"])
     u = gmul(xsg, experts["w_up"])

@@ -177,8 +177,57 @@ def tune_shape(m: int, n: int, k: int,
     best, best_t = timed[0][1], timed[0][0]
     assert best is not None
     if update_table:
-        key = (gemm_mod._m_bucket(m), n, k, int(element_b), int(mfma_type),
-               False)
+        key = gemm_mod._table_key(m, n, k, element_b, mfma_type, False)
+        gemm_mod._TUNED_TABLE[key] = best.repr()
+    return best
+
+
+def tune_grouped_shape(E: int, cap: int, n: int, k: int,
+                       element_b: ElementB = ElementB.MXFP4,
+                       *, verbose: bool = False,
+                       update_table: bool = True) -> SolutionId:
+    """Tune the grouped (MoE expert) kernel for a per-expert shape
+    (cap, n, k) with E experts; records under the grouped table key.
+    Candidates reuse the dense block family minus weight_cache (the
+    grouped kernel has no cache variant)."""
+    from . import layout as layout_mod
+    from .kernels import grouped as grouped_mod
+    from ..utils import benchlib
+
+    rng = np.random.default_rng(99)
+    group = 16 if element_b == ElementB.NVFP4 else 32
+    kp = layout_mod.padded_k(k, layout_mod.pad_multiple(group))
+    xs = jnp.asarray(rng.standard_normal((E, cap, k)), jnp.bfloat16)
+    words = jnp.asarray(rng.integers(0, 2 ** 32, size=(E, kp // 8, n),
+                                     dtype=np.uint64).astype(np.uint32))
+    st = jnp.asarray(rng.standard_normal((E, kp // 16, n)) * 0.1 + 1.0,
+                     jnp.bfloat16)
+    gs = jnp.ones((E,), jnp.float32)
+    bytes_hint = words.size * 4 + st.size * 2 + xs.size * 2
+
+    cands = [s for s in candidate_solutions(cap, n, k, element_b)
+             if not s.weight_cache]
+    best, best_t = None, math.inf
+    for sid in cands:
+        def call(x2, w2, s2):
+            return grouped_mod.grouped_mul(x2, w2, s2, gs,
+                                           solution_id=sid.repr())
+        try:
+            t = benchlib.marginal_time(call, xs, words, st, n1=10, reps=3,
+                                       bytes_hint=bytes_hint)
+        except Exception:
+            t = math.inf
+        if verbose:
+            tf = 2 * E * cap * n * k / t / 1e12 if t < math.inf else 0.0
+            print(f"# grouped {sid.block_m:4d}x{sid.block_n:5d}x"
+                  f"{sid.block_k:5d}  {t * 1e6:10.1f} us  "
+                  f"{tf:7.2f} TFLOP/s")
+        if t < best_t:
+            best, best_t = sid, t
+    assert best is not None
+    if update_table:
+        key = gemm_mod._table_key(cap, n, k, element_b,
+                                  MatmulType.BF16, False, grouped=True)
         gemm_mod._TUNED_TABLE[key] = best.repr()
     return best
 
@@ -223,7 +272,9 @@ def load_table(kind: str | None = None) -> bool:
     table = {}
     for ks, v in raw.items():
         parts = ks.split(",")
+        # 6-field keys are the legacy (pre-grouped) format: grouped=False
+        grouped = parts[6] == "True" if len(parts) > 6 else False
         table[(int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]),
-               int(parts[4]), parts[5] == "True")] = v
+               int(parts[4]), parts[5] == "True", grouped)] = v
     gemm_mod.set_tuned_table(table)
     return True

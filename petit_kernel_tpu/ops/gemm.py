@@ -9,6 +9,7 @@ Pallas kernel.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Union
 
@@ -40,6 +41,15 @@ def _m_bucket(m: int) -> int:
     while b < m:
         b *= 2
     return b
+
+
+def _table_key(m: int, n: int, k: int, element_b: ElementB,
+               mfma_type: MatmulType, high_precision: bool,
+               grouped: bool = False) -> tuple:
+    """Tuned-table key. `grouped` separates the grouped (MoE expert)
+    kernel's optima from the dense kernel's at the same per-expert shape."""
+    return (_m_bucket(m), n, k, int(element_b), int(mfma_type),
+            bool(high_precision), bool(grouped))
 
 
 def resolve_solution(m: int, n: int, k: int,
@@ -75,14 +85,50 @@ def resolve_solution(m: int, n: int, k: int,
                 f"solution {sid} infeasible for m={m} n={n} k={k} "
                 "(kErrorKernelShape)")
         return sid
-    key = (_m_bucket(m), n, k, int(element_b), int(mfma_type),
-           bool(high_precision))
+    key = _table_key(m, n, k, element_b, mfma_type, high_precision)
     if key in _TUNED_TABLE:
         sid = SolutionId.from_repr(_TUNED_TABLE[key])
         if solution_mod.is_feasible(sid, m, n, k):
             return sid
     return solution_mod.choose_default_solution(
         m, n, k, element_b, mfma_type, high_precision)
+
+
+def resolve_grouped_solution(cap: int, n: int, k: int,
+                             element_b: ElementB,
+                             mfma_type: MatmulType = MatmulType.BF16,
+                             solution_id: int = -1) -> SolutionId:
+    """Solution resolution for the grouped (MoE expert) kernel: per-expert
+    problem shape (cap, n, k). Explicit ids must be feasible and must not
+    request weight_cache (the grouped kernel has no cache variant); -1
+    resolves through the grouped table entry, then the dense entry for the
+    same shape, then the heuristic."""
+    if solution_id is not None and solution_id >= 0:
+        sid = SolutionId.from_repr(solution_id)
+        if sid.element_b != element_b:
+            raise ValueError(
+                f"solution {sid} element_b mismatch (want {element_b})")
+        if sid.weight_cache:
+            raise ValueError(
+                f"solution {sid}: grouped kernel has no weight_cache "
+                "variant (kErrorKernelShape)")
+        if not solution_mod.is_feasible(sid, cap, n, k):
+            raise ValueError(
+                f"solution {sid} infeasible for cap={cap} n={n} k={k} "
+                "(kErrorKernelShape)")
+        return sid
+    for grouped in (True, False):
+        key = _table_key(cap, n, k, element_b, mfma_type, False, grouped)
+        if key in _TUNED_TABLE:
+            sid = SolutionId.from_repr(_TUNED_TABLE[key])
+            if (not sid.weight_cache
+                    and solution_mod.is_feasible(sid, cap, n, k)):
+                return sid
+    sid = solution_mod.choose_default_solution(cap, n, k, element_b,
+                                               mfma_type)
+    if sid.weight_cache:
+        sid = dataclasses.replace(sid, weight_cache=False)
+    return sid
 
 
 def _validate_and_prepare(a, b, s, m, n, k, group: int):

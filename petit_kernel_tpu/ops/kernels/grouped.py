@@ -49,23 +49,38 @@ def _grouped_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret", "out_dtype"))
+                                             "interpret", "out_dtype",
+                                             "solution_id", "element_b"))
 def grouped_mul(xs: jax.Array, words: jax.Array, scales_t: jax.Array,
-                gs: jax.Array, *, block_m: int = 16, block_n: int = 512,
-                block_k: int = 1024, out_dtype=jnp.bfloat16,
+                gs: jax.Array, *, block_m: int = 0, block_n: int = 0,
+                block_k: int = 0, solution_id: int = -1,
+                element_b=None, out_dtype=jnp.bfloat16,
                 interpret: bool = False) -> jax.Array:
     """(E, cap, k) @ per-expert dequant((E, kp/8, n), (E, kp/16, n)) * gs[E]
     -> (E, cap, n), one fused kernel with the expert as a grid axis.
 
     xs rows must already be gathered per expert (capacity buckets); k is
     the logical contraction size (kp = words.shape[1] * 8 covers padding).
+
+    Block shapes resolve through the solution machinery (tuned grouped
+    table entry -> dense entry -> heuristic, ops/gemm.py
+    resolve_grouped_solution), overridable with an explicit solution_id or
+    raw block_m/n/k kwargs.
     """
+    from ..solution import ElementB
     interpret = interpret or jax.default_backend() == "cpu"
     E, cap, k = xs.shape
     _, kw, n = words.shape
     kp = kw * 8
     assert words.shape[0] == E and scales_t.shape == (E, kp // 16, n)
-    bm = min(block_m, max(16, cap))
+    if not (block_m and block_n and block_k):
+        from .. import gemm as gemm_mod
+        eb = element_b if element_b is not None else (
+            ElementB.NVFP4 if kp == k or kp - k < 512 else ElementB.MXFP4)
+        sid = gemm_mod.resolve_grouped_solution(cap, n, k, eb,
+                                                solution_id=solution_id)
+        block_m, block_n, block_k = sid.block_m, sid.block_n, sid.block_k
+    bm = min(block_m, max(16, -(-cap // 16) * 16))
     bn = min(block_n, n)
     bk = min(block_k, kp)
     assert kp % bk == 0 and bk % 512 == 0 and n % bn == 0

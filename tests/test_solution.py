@@ -81,12 +81,31 @@ def test_resolve_solution_explicit_id():
 
 def test_tuned_table_overrides_heuristic():
     sid = SolutionId(32, 256, 512)
-    key = (16, 1024, 512, int(ElementB.NVFP4), int(MatmulType.BF16), False)
+    key = G._table_key(16, 1024, 512, ElementB.NVFP4, MatmulType.BF16,
+                       False)
     G.set_tuned_table({key: sid.repr()})
     try:
         assert G.resolve_solution(16, 1024, 512, ElementB.NVFP4) == sid
+        # the grouped resolver falls back to the dense entry for the shape
+        assert G.resolve_grouped_solution(16, 1024, 512,
+                                          ElementB.NVFP4) == sid
+        gsid = SolutionId(16, 512, 512)
+        gkey = G._table_key(16, 1024, 512, ElementB.NVFP4,
+                            MatmulType.BF16, False, grouped=True)
+        G.set_tuned_table({key: sid.repr(), gkey: gsid.repr()})
+        # ... but a grouped entry wins when present
+        assert G.resolve_grouped_solution(16, 1024, 512,
+                                          ElementB.NVFP4) == gsid
+        assert G.resolve_solution(16, 1024, 512, ElementB.NVFP4) == sid
     finally:
         G.set_tuned_table({})
+
+
+def test_resolve_grouped_rejects_weight_cache():
+    wc = SolutionId(16, 512, 512, weight_cache=True)
+    with pytest.raises(ValueError, match="weight_cache"):
+        G.resolve_grouped_solution(32, 1024, 1024, ElementB.NVFP4,
+                                   solution_id=wc.repr())
 
 
 def test_mbucket():
