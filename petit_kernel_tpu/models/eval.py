@@ -44,6 +44,11 @@ def _score_batch(params, toks, cont_mask, cfg, fmt, interpret):
     """
     logits, _ = llama.forward(params, toks[:, :-1], cfg, fmt=fmt,
                               interpret=interpret)
+    return _sum_cont_logprobs(logits, toks, cont_mask)
+
+
+@jax.jit
+def _sum_cont_logprobs(logits, toks, cont_mask):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tgt = toks[:, 1:]
     tok_lp = jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
@@ -53,9 +58,16 @@ def _score_batch(params, toks, cont_mask, cfg, fmt, interpret):
 def loglikelihood(params, cfg: llama.LlamaConfig,
                   pairs: Sequence[tuple[Sequence[int], Sequence[int]]], *,
                   fmt: str = "bf16", interpret: bool = False,
-                  bucket: int = 32, batch: int = 8) -> np.ndarray:
+                  bucket: int = 32, batch: int = 8,
+                  engine=None) -> np.ndarray:
     """log P(continuation | context) for each (context, continuation) pair
-    of token-id sequences. Returns (len(pairs),) float64."""
+    of token-id sequences. Returns (len(pairs),) float64.
+
+    engine: a serving.Engine/PagedEngine — scoring then runs THROUGH the
+    engine's forward path (its jitted graphs, cache dtype, TP sharding),
+    so the quality number measures the configuration actually served
+    rather than a parallel eval-only code path; params/cfg/fmt arguments
+    are ignored in favor of the engine's own."""
     rows, masks, lens = [], [], []
     for ctx, cont in pairs:
         assert len(ctx) >= 1, "continuation needs a non-empty context"
@@ -65,6 +77,9 @@ def loglikelihood(params, cfg: llama.LlamaConfig,
         rows.append(ids)
         masks.append(m)
         lens.append(len(ids))
+    if engine is not None:
+        cfg = engine.cfg
+        batch = engine.B          # scratch cache is cloned at max_batch
     out = np.zeros(len(pairs), np.float64)
     # group by padded length, then score in fixed-size batches
     order = np.argsort(lens, kind="stable")
@@ -80,8 +95,13 @@ def loglikelihood(params, cfg: llama.LlamaConfig,
         if pad_b:
             toks = np.concatenate([toks, np.zeros((pad_b, L), np.int32)])
             cm = np.concatenate([cm, np.zeros((pad_b, L), np.float32)])
-        scores = _score_batch(params, jnp.asarray(toks), jnp.asarray(cm),
-                              cfg, fmt, interpret)
+        if engine is not None:
+            logits = engine.score_forward(jnp.asarray(toks[:, :-1]))
+            scores = _sum_cont_logprobs(logits, jnp.asarray(toks),
+                                        jnp.asarray(cm))
+        else:
+            scores = _score_batch(params, jnp.asarray(toks),
+                                  jnp.asarray(cm), cfg, fmt, interpret)
         out[idx] = np.asarray(scores, np.float64)[: len(idx)]
     return out
 
@@ -106,16 +126,18 @@ def perplexity(params, cfg: llama.LlamaConfig, tokens: Sequence[int], *,
 
 def score_multiple_choice(params, cfg: llama.LlamaConfig,
                           questions: Sequence[dict], *, fmt: str = "bf16",
-                          interpret: bool = False, batch: int = 8):
+                          interpret: bool = False, batch: int = 8,
+                          engine=None):
     """Each question: {"context": [ids], "choices": [[ids], ...],
     "answer": int}. Picks argmax_choice log P(choice | context) (the
-    lm-eval-harness MMLU protocol). Returns (accuracy, picks)."""
+    lm-eval-harness MMLU protocol). Returns (accuracy, picks).
+    engine: score through a serving engine (see loglikelihood)."""
     pairs, spans = [], []
     for q in questions:
         spans.append((len(pairs), len(q["choices"])))
         pairs.extend((q["context"], ch) for ch in q["choices"])
     lls = loglikelihood(params, cfg, pairs, fmt=fmt, interpret=interpret,
-                        batch=batch)
+                        batch=batch, engine=engine)
     picks = [int(np.argmax(lls[s: s + n])) for s, n in spans]
     correct = sum(p == q["answer"] for p, q in zip(picks, questions))
     return correct / len(questions), picks

@@ -207,6 +207,20 @@ class Engine:
                              v.at[slot:slot + 1].set(v1))
         return logits
 
+    def score_forward(self, toks: jax.Array) -> jax.Array:
+        """Full-sequence logits (B, L, V) THROUGH this engine's serving
+        forward (same jitted graphs, cache dtype/sharding — incl. a TP
+        cache): the eval harness scores what would actually be served
+        (models/eval.py engine= path). Uses a zeroed clone of the engine's
+        cache; engine state is untouched. B must equal max_batch (eval
+        pads its batches to it)."""
+        B, L = toks.shape
+        assert B == self.B, (B, self.B)
+        cache = jax.tree.map(jnp.zeros_like, self.cache)
+        pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+        logits, _ = self._prefill_forward(self.params, toks, cache, pos)
+        return logits
+
     def _kv_window(self) -> Optional[int]:
         """Bucketed max attended length over active slots: a power-of-two
         multiple of 128, so the decode step compiles O(log max_seq) distinct
@@ -323,6 +337,22 @@ class PagedEngine(Engine):
             return sample_next(logits[:, -1], key, temps, top_k), pages
 
         self._decode_step = _decode_step
+
+    def score_forward(self, toks: jax.Array) -> jax.Array:
+        """Eval scoring through the paged serving forward (scratch pool)."""
+        from . import paged as paged_mod
+        B, L = toks.shape
+        ps = self.pc.page_size
+        pc = paged_mod.init_paged_cache(
+            self.cfg, B, page_size=ps,
+            num_pages=B * (-(-L // ps)),
+            dtype=self.pc.pages[0][0].dtype)
+        for b in range(B):
+            paged_mod.ensure_capacity(pc, b, L)
+        pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+        logits, _ = self._prefill_forward(self.params, toks, pc.pages,
+                                          pc.block_tables, pos)
+        return logits
 
     def _prefill_chunk(self, slot: int, toks, pos) -> jax.Array:
         # grow the block table to cover the whole padded chunk: the padded

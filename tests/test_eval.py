@@ -128,3 +128,33 @@ def test_mmlu_csv_reader(tmp_path):
     rows = em.read_mmlu_csv(str(p))
     assert rows == [("What is 2+2?", ["3", "4", "5", "22"], 1),
                     ("A, tricky one?", ["w", "x", "y", "z"], 3)]
+
+
+def test_loglikelihood_through_engine(setup):
+    """engine= path: scoring through the serving engines' forward matches
+    the direct eval path (same model/format)."""
+    from petit_kernel_tpu.models import serving
+    cfg, params = setup
+    pairs = [([1, 2, 3], [7, 8]), ([4, 5], [6]), ([9], [10, 11, 12])]
+    want = ev.loglikelihood(params, cfg, pairs, fmt="bf16")
+    eng = serving.Engine(params, cfg, max_batch=4)
+    got = ev.loglikelihood(None, None, pairs, engine=eng)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    peng = serving.PagedEngine(params, cfg, max_batch=4, page_size=16)
+    gotp = ev.loglikelihood(None, None, pairs, engine=peng)
+    np.testing.assert_allclose(gotp, want, rtol=1e-3, atol=1e-3)
+
+
+def test_multiple_choice_through_engine(setup):
+    from petit_kernel_tpu.models import serving
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    qs = [{"context": list(rng.integers(1, 50, size=5)),
+           "choices": [[int(c)] for c in rng.integers(1, 50, size=4)],
+           "answer": int(rng.integers(0, 4))} for _ in range(6)]
+    acc_direct, picks_direct = ev.score_multiple_choice(
+        params, cfg, qs, fmt="bf16")
+    eng = serving.Engine(params, cfg, max_batch=4)
+    acc_eng, picks_eng = ev.score_multiple_choice(
+        None, None, qs, engine=eng)
+    assert picks_eng == picks_direct and acc_eng == acc_direct

@@ -50,6 +50,10 @@ def main() -> None:
                     help="max questions per subject (0 = all)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--through-engine", action="store_true",
+                    help="score through the serving Engine's forward path "
+                         "(the configuration actually served) instead of "
+                         "the direct eval forward")
     args = ap.parse_args()
 
     from transformers import AutoTokenizer
@@ -61,6 +65,11 @@ def main() -> None:
     if cfg.max_seq_len != args.max_seq_len:
         import dataclasses
         cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq_len)
+    engine = None
+    if args.through_engine:
+        from petit_kernel_tpu.models import serving
+        engine = serving.Engine(params, cfg, max_batch=args.batch,
+                                fmt=args.fmt)
 
     test_files = sorted(glob.glob(os.path.join(args.data, "test",
                                                "*_test.csv")))
@@ -84,7 +93,7 @@ def main() -> None:
         qs = ev.mmlu_questions(rows, encode, subject=subject,
                                few_shot=shots)
         acc, _ = ev.score_multiple_choice(params, cfg, qs, fmt=args.fmt,
-                                          batch=args.batch)
+                                          batch=args.batch, engine=engine)
         per_subject[subject] = {"acc": acc, "n": len(qs)}
         total_ok += round(acc * len(qs))
         total_n += len(qs)
