@@ -305,6 +305,19 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
                 page_size=128, interpret=interpret)
             o = o.reshape(B, T, nq * d).astype(x.dtype)
             return lin(o, lp["wo"]), new_cache
+        if (kv_window is not None and T > 1 and S % 128 == 0 and kernel_ok
+                and T % min(128, T) == 0):
+            # causal flash prefill over the cache: assumes this chunk's
+            # positions are contiguous pos[b, t] = pos[b, 0] + t (the
+            # chunked-prefill contract; generic callers keep the masked
+            # path by not passing kv_window)
+            from ..ops.kernels import attention as attn_mod
+            ns = min(-(-kv_window // 128), S // 128)
+            o = attn_mod.flash_prefill_attention(
+                q, ck, cv, pos[:, 0], ns=ns, block_q=min(128, T),
+                interpret=interpret)
+            o = o.reshape(B, T, nq * d).astype(x.dtype)
+            return lin(o, lp["wo"]), new_cache
         k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
         # per-query causal mask against absolute positions: query at pos[b,t]
         # may attend kv slots <= pos[b,t] (a (B,1,1,S) mask keyed only on the

@@ -121,9 +121,16 @@ class Engine:
         self.finished: dict[int, list[int]] = {}
         self._pf: list[_PrefillJob] = []   # chunked-prefill queue
         # jitted prefill forward: XLA's jit cache keys on the (1, bucket)
-        # shape, so at most len(PREFILL_BUCKETS) programs compile
-        self._prefill_forward = jax.jit(
-            lambda p, t, c, q: forward_fn(p, t, c, q))
+        # shape (x kv_window bucket when supported), so the prefill path
+        # compiles a handful of programs however many lengths arrive
+        if self._fwd_takes_window:
+            self._prefill_forward = jax.jit(
+                lambda p, t, c, q, kv_window=None: forward_fn(
+                    p, t, c, q, kv_window=kv_window),
+                static_argnames=("kv_window",))
+        else:
+            self._prefill_forward = jax.jit(
+                lambda p, t, c, q: forward_fn(p, t, c, q))
 
         @functools.partial(jax.jit, static_argnames=("kv_window",))
         def _decode_step(params, cache, toks, pos, key, temps,
@@ -175,8 +182,15 @@ class Engine:
         padded = np.zeros(lb, np.int32)
         padded[:n] = chunk
         pos = job.offset + jnp.arange(lb, dtype=jnp.int32)[None, :]
+        # bucketed attention window for the chunk (flash prefill reads
+        # only ceil(window/128) KV blocks); power-of-two so the compile
+        # count stays O(#buckets x log max_seq)
+        w = 128
+        while w < job.offset + lb:
+            w *= 2
+        kv_window = min(w, self.cfg.max_seq_len)
         logits = self._prefill_chunk(job.slot, jnp.asarray(padded)[None, :],
-                                     pos)
+                                     pos, kv_window)
         job.offset += n
         if job.offset == len(toks):
             self._pf.pop(0)
@@ -192,15 +206,20 @@ class Engine:
 
     # -- cache backend hooks (overridden by PagedEngine) ---------------------
 
-    def _prefill_chunk(self, slot: int, toks, pos) -> jax.Array:
+    def _prefill_chunk(self, slot: int, toks, pos,
+                       kv_window=None) -> jax.Array:
         """Run one right-padded prefill chunk (1, Lb) at absolute positions
         `pos` through slot's cache rows; returns the chunk logits. Padded
         positions write garbage KV beyond the true length — harmless: the
         causal mask hides them and decode overwrites row by row."""
-        logits, layer_caches = self._prefill_forward(
-            self.params, toks,
-            [(k[slot:slot + 1], v[slot:slot + 1]) for (k, v) in self.cache],
-            pos)
+        cache_rows = [(k[slot:slot + 1], v[slot:slot + 1])
+                      for (k, v) in self.cache]
+        if self._fwd_takes_window:
+            logits, layer_caches = self._prefill_forward(
+                self.params, toks, cache_rows, pos, kv_window=kv_window)
+        else:
+            logits, layer_caches = self._prefill_forward(
+                self.params, toks, cache_rows, pos)
         for i, (k1, v1) in enumerate(layer_caches):
             k, v = self.cache[i]
             self.cache[i] = (k.at[slot:slot + 1].set(k1),
@@ -218,7 +237,15 @@ class Engine:
         assert B == self.B, (B, self.B)
         cache = jax.tree.map(jnp.zeros_like, self.cache)
         pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
-        logits, _ = self._prefill_forward(self.params, toks, cache, pos)
+        if self._fwd_takes_window:
+            w = 128
+            while w < L:
+                w *= 2
+            logits, _ = self._prefill_forward(
+                self.params, toks, cache, pos,
+                kv_window=min(w, self.cfg.max_seq_len))
+        else:
+            logits, _ = self._prefill_forward(self.params, toks, cache, pos)
         return logits
 
     def _kv_window(self) -> Optional[int]:
@@ -354,7 +381,11 @@ class PagedEngine(Engine):
                                           pc.block_tables, pos)
         return logits
 
-    def _prefill_chunk(self, slot: int, toks, pos) -> jax.Array:
+    def _prefill_chunk(self, slot: int, toks, pos,
+                       kv_window=None) -> jax.Array:
+        # kv_window unused: paged KV is not contiguous, so multi-token
+        # prefill keeps the gathered-pages path (decode uses the paged
+        # flash kernel)
         # grow the block table to cover the whole padded chunk: the padded
         # tail writes garbage into real pages beyond the true length, which
         # the causal mask hides and decode overwrites position by position

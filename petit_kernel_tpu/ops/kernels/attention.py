@@ -168,3 +168,122 @@ def pow2_bucket(n: int, lo: int = 1) -> int:
     while b < n:
         b *= 2
     return b
+
+
+# ---------------------------------------------------------------------------
+# Causal flash prefill: multi-token queries against a contiguous KV buffer
+# (the cache during chunked prefill, or the sequence itself when no cache).
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
+                    acc_ref, m_ref, l_ref, *, ns: int, ts: int, tq: int,
+                    sm_scale: float):
+    b = pl.program_id(0)
+    ti = pl.program_id(2)
+    si = pl.program_id(3)
+
+    @pl.when(si == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # skip blocks strictly above the causal diagonal for every row of this
+    # q block (kv start > max query position)
+    blk_max_pos = pos0_ref[b] + (ti + 1) * tq - 1
+
+    @pl.when(si * ts <= blk_max_pos)
+    def _compute():
+        G = q_ref.shape[2]
+        d = q_ref.shape[-1]
+        q = q_ref[0, 0].reshape(G * tq, d).astype(jnp.float32)
+        k = k_ref[0, :, 0, :].astype(jnp.float32)          # (ts, d)
+        v = v_ref[0, :, 0, :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (G*tq, ts)
+        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % tq
+        q_pos = pos0_ref[b] + ti * tq + rows
+        kv_pos = si * ts + jax.lax.broadcasted_iota(jnp.int32,
+                                                    logits.shape, 1)
+        logits = jnp.where(kv_pos <= q_pos, logits, _NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, -1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, -1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(si == ns - 1)
+    def _epilogue():
+        G = q_ref.shape[2]
+        d = q_ref.shape[-1]
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).reshape(G, tq, d).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ns", "block_q", "block_s",
+                                             "interpret"))
+def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
+                            pos0: jax.Array, *, ns: int,
+                            block_q: int = 128, block_s: int = 128,
+                            interpret: bool = False) -> jax.Array:
+    """Causal multi-token attention, flash-style (no (B,H,T,S) tensor).
+
+    q    : (B, T, H, d) post-RoPE queries; query t's absolute position is
+           pos0[b] + t (contiguous chunk — the chunked-prefill contract)
+    ck/cv: (B, S, Hkv, d) contiguous KV (bf16 or fp8; the current chunk
+           must already be written in)
+    pos0 : (B,) int32 chunk start positions
+    ns   : static number of block_s KV blocks to visit (callers bucket
+           ceil(max(pos0 + T)/block_s))
+    returns (B, T, H, d) bf16.
+
+    Blocks strictly above the causal diagonal are compute-skipped; the
+    online-softmax state lives in VMEM scratch across the sequential
+    KV-block axis.
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    B, T, H, d = q.shape
+    _, S, Hkv, dk = ck.shape
+    assert dk == d and H % Hkv == 0 and S % block_s == 0
+    G = H // Hkv
+    tq = min(block_q, T)
+    assert T % tq == 0
+    nt = T // tq
+    qr = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, d)
+    sm_scale = 1.0 / np.sqrt(d)
+
+    kernel = functools.partial(_prefill_kernel, ns=ns, ts=block_s, tq=tq,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hkv, nt, ns),
+            in_specs=[
+                pl.BlockSpec((1, 1, G, tq, d),
+                             lambda b, h, ti, si, p0: (b, h, 0, ti, 0)),
+                pl.BlockSpec((1, block_s, 1, d),
+                             lambda b, h, ti, si, p0: (b, si, h, 0)),
+                pl.BlockSpec((1, block_s, 1, d),
+                             lambda b, h, ti, si, p0: (b, si, h, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, tq, d),
+                                   lambda b, h, ti, si, p0: (b, h, 0, ti, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((G * tq, d), jnp.float32),
+                pltpu.VMEM((G * tq, 1), jnp.float32),
+                pltpu.VMEM((G * tq, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(pos0.astype(jnp.int32), qr, ck, cv)
+    return out.reshape(B, H, T, d).transpose(0, 2, 1, 3)

@@ -150,8 +150,35 @@ def _apply_scales(deq: jax.Array, sc: jax.Array,
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def _int_scale_quarter(y: jax.Array, c: jax.Array, sc: jax.Array):
+    """MXFP4 fast path: apply power-of-two scales by INTEGER exponent
+    addition in the SWAR domain (the TPU analog of the reference's E8M0
+    exponent splice, quantization/dequant.cuh:196-221), replacing the
+    widened bf16 slab multiply (measured: -25 us of VPU time at
+    (16,8192,8192) on v5e).
+
+        product_bits = value_bits + scale_bits - 0x3F80   (per half)
+
+    exact because bits(v * 2^p) = bits(v) + p<<7 for normal results.
+    Yields (chunk_index, (128, C) bf16 scaled slab) pairs. Preconditions
+    (validated/guaranteed offline): scale bytes <= 252 so the add cannot
+    carry into the sign bit; byte-0 (zero) scales only occur for all-zero
+    weight groups, whose stored-zero values the nonzero mask kills here
+    (a sane quantizer never pairs a zero scale with nonzero codes); padded
+    columns produce garbage that the host wrapper slices off.
+    """
+    mask = (c >> np.uint32(9)) * np.uint32(0xFFFF)
+    sc32 = pltpu.bitcast(sc, jnp.uint32) - np.uint32(0x00800080)
+    for ch in range(y.shape[0] // 64):
+        slab32 = pltpu.repeat(sc32[ch * 4:(ch + 1) * 4], 16, axis=0)
+        bits = (y[ch * 64:(ch + 1) * 64] + slab32) \
+            & mask[ch * 64:(ch + 1) * 64]
+        yield ch, pltpu.bitcast(bits, jnp.bfloat16)
+
+
 def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
-                  out_ref, acc_ref, *, nk: int, high_precision: bool):
+                  out_ref, acc_ref, *, nk: int, high_precision: bool,
+                  int_scale: bool = False):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -160,6 +187,20 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
 
     a_refs = (a0, a1, a2, a3)
     s_refs = (s0, s1, s2, s3)
+    if int_scale:
+        for j in range(4):
+            y = _extract_quarter(w_ref[:], j)
+            z = y ^ _ZXOR
+            c = (z + _CADD) & _CMASK
+            a = a_refs[j][:]
+            for ch, b in _int_scale_quarter(y, c, s_refs[j][:]):
+                acc_ref[:] += jnp.dot(a[:, ch * 128:(ch + 1) * 128], b,
+                                      preferred_element_type=jnp.float32)
+
+        @pl.when(kk == nk - 1)
+        def _epilogue_int():
+            out_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_ref.dtype)
+        return
     for j in range(4):
         deq = decode_quarter(w_ref[:], j)
         # scales arrive bf16 (decoded offline) as four per-quarter blocked
@@ -197,7 +238,7 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
 
 def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
                      out_ref, acc_ref, bc_ref, *, nk: int,
-                     high_precision: bool):
+                     high_precision: bool, int_scale: bool = False):
     """Weight-cache variant: grid (nn, nm, nk). At the first m-block of each
     n-block, decode+scale this k-step's weights into the k-resident VMEM
     cache bc_ref (4, kp/4, bn); every m-block's dots read the cache — the
@@ -215,6 +256,12 @@ def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
     @pl.when(i == 0)
     def _decode():
         for j in range(4):
+            if int_scale:
+                y = _extract_quarter(w_ref[:], j)
+                c = ((y ^ _ZXOR) + _CADD) & _CMASK
+                for ch, b in _int_scale_quarter(y, c, s_refs[j][:]):
+                    bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = b
+                continue
             deq = decode_quarter(w_ref[:], j)
             sc = s_refs[j][:]
             for ch in range(deq.shape[0] // 128):
@@ -314,7 +361,9 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
                    pltpu.VMEM((nk, 4, kb4, bn), jnp.bfloat16)]
         kernel = functools.partial(
             _fused_kernel_wc, nk=nk,
-            high_precision=sid.high_precision)
+            high_precision=sid.high_precision,
+            int_scale=(sid.element_b == ElementB.MXFP4
+                       and not sid.high_precision))
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
         def a_map(j):
@@ -330,7 +379,11 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
         kernel = functools.partial(
             _fused_kernel, nk=nk,
-            high_precision=sid.high_precision)
+            high_precision=sid.high_precision,
+            # MXFP4 power-of-two scales apply as an integer exponent add
+            # (_int_scale_quarter); high-precision keeps the f32 mul path
+            int_scale=(sid.element_b == ElementB.MXFP4
+                       and not sid.high_precision))
         semantics = ("parallel", "parallel", "arbitrary")
 
     a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)

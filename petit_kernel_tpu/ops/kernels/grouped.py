@@ -24,7 +24,7 @@ from . import fused
 
 
 def _grouped_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
-                    out_ref, acc_ref, *, nk: int):
+                    out_ref, acc_ref, *, nk: int, int_scale: bool = False):
     kk = pl.program_id(3)
 
     @pl.when(kk == 0)
@@ -34,9 +34,18 @@ def _grouped_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
     a_refs = (a0, a1, a2, a3)
     s_refs = (s0, s1, s2, s3)
     for j in range(4):
+        a = a_refs[j][0]
+        if int_scale:
+            # MXFP4: power-of-two scales via integer exponent add
+            # (fused._int_scale_quarter; same preconditions)
+            y = fused._extract_quarter(w_ref[0], j)
+            c = ((y ^ fused._ZXOR) + fused._CADD) & fused._CMASK
+            for ch, b in fused._int_scale_quarter(y, c, s_refs[j][0]):
+                acc_ref[:] += jnp.dot(a[:, ch * 128:(ch + 1) * 128], b,
+                                      preferred_element_type=jnp.float32)
+            continue
         deq = fused.decode_quarter(w_ref[0], j)
         sc = s_refs[j][0]
-        a = a_refs[j][0]
         for ch in range(deq.shape[0] // 128):
             b = (deq[ch * 128:(ch + 1) * 128]
                  * fused._chunk_scale_slab(sc, ch))
@@ -73,11 +82,12 @@ def grouped_mul(xs: jax.Array, words: jax.Array, scales_t: jax.Array,
     _, kw, n = words.shape
     kp = kw * 8
     assert words.shape[0] == E and scales_t.shape == (E, kp // 16, n)
+    if element_b is None:
+        element_b = (ElementB.NVFP4 if kp == k or kp - k < 512
+                     else ElementB.MXFP4)
     if not (block_m and block_n and block_k):
         from .. import gemm as gemm_mod
-        eb = element_b if element_b is not None else (
-            ElementB.NVFP4 if kp == k or kp - k < 512 else ElementB.MXFP4)
-        sid = gemm_mod.resolve_grouped_solution(cap, n, k, eb,
+        sid = gemm_mod.resolve_grouped_solution(cap, n, k, element_b,
                                                 solution_id=solution_id)
         block_m, block_n, block_k = sid.block_m, sid.block_n, sid.block_k
     bm = min(block_m, max(16, -(-cap // 16) * 16))
@@ -106,7 +116,9 @@ def grouped_mul(xs: jax.Array, words: jax.Array, scales_t: jax.Array,
 
     gs2 = jnp.asarray(gs, jnp.float32).reshape(E, 1, 1)
     out = pl.pallas_call(
-        functools.partial(_grouped_kernel, nk=nk),
+        functools.partial(
+            _grouped_kernel, nk=nk,
+            int_scale=(element_b == ElementB.MXFP4)),
         grid=(E, nm, nn, nk),
         in_specs=[
             *[pl.BlockSpec((1, bm, kb4), a_map(j), memory_space=pltpu.VMEM)

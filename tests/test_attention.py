@@ -94,3 +94,52 @@ def test_decode_attention_fp8_kv():
 def test_bucket():
     assert attn.pow2_bucket(1) == 1 and attn.pow2_bucket(3) == 4
     assert attn.pow2_bucket(16) == 16 and attn.pow2_bucket(17) == 32
+
+
+def _naive_prefill(q, k_all, v_all, pos0):
+    """q (B,T,H,d) positions pos0[b]+t; kv (B,S,Hkv,d) -> (B,T,H,d) f32."""
+    B, T, H, d = q.shape
+    S, Hkv = k_all.shape[1], k_all.shape[2]
+    rep = H // Hkv
+    k = np.repeat(np.asarray(k_all, np.float32), rep, axis=2)
+    v = np.repeat(np.asarray(v_all, np.float32), rep, axis=2)
+    qf = np.asarray(q, np.float32) / np.sqrt(d)
+    logits = np.einsum("bthd,bshd->bhts", qf, k)
+    qpos = np.asarray(pos0)[:, None] + np.arange(T)[None, :]      # (B,T)
+    mask = np.arange(S)[None, None, :] <= qpos[:, :, None]        # (B,T,S)
+    logits = np.where(mask[:, None], logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhts,bshd->bthd", p, v)
+
+
+@pytest.mark.parametrize("hkv,h,T", [(2, 8, 128), (4, 28, 64), (2, 8, 256)])
+def test_flash_prefill_matches_naive(hkv, h, T):
+    B, S, d = 2, 512, 128
+    rng = np.random.default_rng(T)
+    q = jnp.asarray(rng.standard_normal((B, T, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.bfloat16)
+    pos0 = jnp.asarray([0, 100], jnp.int32)   # fresh + resumed chunk
+    ns = S // 128
+    out = attn.flash_prefill_attention(q, k, v, pos0, ns=ns,
+                                       block_q=min(128, T),
+                                       interpret=True)
+    want = _naive_prefill(q, k, v, pos0)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_flash_prefill_fp8_kv():
+    B, T, S, hkv, h, d = 1, 64, 256, 2, 8, 128
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, T, h, d)), jnp.bfloat16)
+    k8 = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.float8_e4m3fn)
+    v8 = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.float8_e4m3fn)
+    pos0 = jnp.asarray([30], jnp.int32)
+    out = attn.flash_prefill_attention(q, k8, v8, pos0, ns=2, block_q=64,
+                                       interpret=True)
+    want = _naive_prefill(q, jnp.asarray(k8, jnp.float32),
+                          jnp.asarray(v8, jnp.float32), pos0)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=5e-2, atol=5e-2)

@@ -155,6 +155,51 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                     b = fused._apply_scales(b, sc, 16)
             acc_ref[:] += jnp.dot(a_refs[j][:], b,
                                   preferred_element_type=jnp.float32)
+    elif stage in ("v6nomul", "v6norep", "v6intsc"):
+        # bisect the v6 scale path: nomul = repeat slab but dot unscaled
+        # deq (slab consumed cheaply); norep = multiply by an (8,C) const
+        # (no repeat); intsc = MXFP4-style integer exponent-add scaling
+        for j in range(4):
+            if j == 0:
+                y = w_ref[:] & np.uint32(0x81C081C0)
+            elif j < 3:
+                y = (w_ref[:] << np.uint32(3 * j)) & np.uint32(0x81C081C0)
+            else:
+                y = (((w_ref[:] >> np.uint32(4)) & np.uint32(0x00C000C0))
+                     | ((w_ref[:] >> np.uint32(5)) & np.uint32(0x01000100))
+                     | ((w_ref[:] << np.uint32(1)) & np.uint32(0x80008000)))
+            z = y ^ np.uint32(0x00400040)
+            c = (z + np.uint32(0x01C001C0)) & np.uint32(0x02000200)
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            if stage == "v6intsc":
+                # (y + slab32) & nzmask, slab pre-adjusted at (4,C)
+                mask = (c >> np.uint32(9)) * np.uint32(0xFFFF)
+                sc32 = pltpu.bitcast(sc[0:8], jnp.uint32) \
+                    - np.uint32(0x00800080)
+                r32 = y.shape[0]
+                for ch in range(r32 // 64):
+                    slab32 = pltpu.repeat(sc32, 16, axis=0)
+                    bits = ((y[ch * 64:(ch + 1) * 64] + slab32)
+                            & mask[ch * 64:(ch + 1) * 64])
+                    b2 = pltpu.bitcast(bits, jnp.bfloat16)
+                    acc_ref[:] += jnp.dot(
+                        a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                        preferred_element_type=jnp.float32)
+                continue
+            bias = (c >> np.uint32(9)) * np.uint32(0x3F00)
+            b = pltpu.bitcast(y + bias, jnp.bfloat16)
+            r = b.shape[0]
+            for ch in range(r // 128):
+                if stage == "v6nomul":
+                    slab = pltpu.repeat(sc[ch * 8:(ch + 1) * 8], 16, axis=0)
+                    acc_ref[0:1, :] += jnp.sum(
+                        slab.astype(jnp.float32)[0:8], axis=0, keepdims=True)
+                    b2 = b[ch * 128:(ch + 1) * 128]
+                else:
+                    b2 = b[ch * 128:(ch + 1) * 128] * jnp.bfloat16(0.5)
+                acc_ref[:] += jnp.dot(
+                    a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                    preferred_element_type=jnp.float32)
     elif stage in ("v6", "v6dot"):
         # v6 single-shift layout op-structure (TIMING ONLY with the current
         # layout — values are wrong without the matching offline repack):
