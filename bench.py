@@ -210,7 +210,7 @@ def main():
     geo_tflops = math.exp(sum(math.log(r["tflops"]) for r in decode) / len(decode))
     geo_speedup = math.exp(sum(math.log(r["speedup"]) for r in decode) / len(decode))
     print(json.dumps({
-        "metric": "nvfp4_gemm_decode_m16_geomean_tflops",
+        "metric": f"{args.format}_gemm_decode_m16_geomean_tflops",
         "value": round(geo_tflops, 3),
         "unit": "TFLOP/s",
         "vs_baseline": round(geo_speedup, 3),

@@ -41,9 +41,12 @@ _NEG_INF = -1e30
 
 def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
                    acc_ref, m_ref, l_ref, *, nb: int, page_size: int,
-                   sm_scale: float):
+                   sm_scale: float, hkv: int, gp: int):
+    # grid (B, nb); the kv-head axis is looped INSIDE the kernel — Mosaic
+    # requires the block's last-two dims % (8, 128) or full, so the KV
+    # block covers the whole (Hkv, d) tail and each head slices it
     b = pl.program_id(0)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -51,29 +54,34 @@ def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32)                   # (Gp, d)
-    k = k_ref[0, :, 0, :].astype(jnp.float32)             # (ps, d)
-    v = v_ref[0, :, 0, :].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale    # (Gp, ps)
-    kv_pos = i * page_size + jax.lax.broadcasted_iota(
-        jnp.int32, logits.shape, 1)
-    logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
+    for h in range(hkv):
+        rows = slice(h * gp, (h + 1) * gp)
+        q = q_ref[0, h].astype(jnp.float32)               # (Gp, d)
+        k = k_ref[0, :, h, :].astype(jnp.float32)         # (ps, d)
+        v = v_ref[0, :, h, :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (Gp, ps)
+        kv_pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
 
-    m_prev = m_ref[:]                                     # (Gp, 1) f32
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)                           # (Gp, ps)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        m_prev = m_ref[rows]                              # (Gp, 1) f32
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                       # (Gp, ps)
+        l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=-1,
+                                                    keepdims=True)
+        m_ref[rows] = m_new
+        acc_ref[rows] = acc_ref[rows] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
 
     @pl.when(i == nb - 1)
     def _epilogue():
         # l > 0 always: kv position 0 is valid for every pos >= 0
-        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(o_ref.shape[1:]).astype(
+            o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "page_size", "interpret"))
@@ -105,32 +113,32 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
 
     sm_scale = 1.0 / np.sqrt(d)
-    grid = (B, Hkv, nb)
     kernel = functools.partial(_decode_kernel, nb=nb, page_size=ps,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, hkv=Hkv, gp=Gp)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
+            grid=(B, nb),
             in_specs=[
-                pl.BlockSpec((1, 1, Gp, d), lambda b, h, i, bt, pos: (b, h, 0, 0)),
-                pl.BlockSpec((1, ps, 1, d),
-                             lambda b, h, i, bt, pos: (bt[b, i], 0, h, 0)),
-                pl.BlockSpec((1, ps, 1, d),
-                             lambda b, h, i, bt, pos: (bt[b, i], 0, h, 0)),
+                pl.BlockSpec((1, Hkv, Gp, d),
+                             lambda b, i, bt, pos: (b, 0, 0, 0)),
+                pl.BlockSpec((1, ps, Hkv, d),
+                             lambda b, i, bt, pos: (bt[b, i], 0, 0, 0)),
+                pl.BlockSpec((1, ps, Hkv, d),
+                             lambda b, i, bt, pos: (bt[b, i], 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, Gp, d),
-                                   lambda b, h, i, bt, pos: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, Hkv, Gp, d),
+                                   lambda b, i, bt, pos: (b, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((Gp, d), jnp.float32),
-                pltpu.VMEM((Gp, 1), jnp.float32),
-                pltpu.VMEM((Gp, 1), jnp.float32),
+                pltpu.VMEM((Hkv * Gp, d), jnp.float32),
+                pltpu.VMEM((Hkv * Gp, 1), jnp.float32),
+                pltpu.VMEM((Hkv * Gp, 1), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, d), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(block_tables.astype(jnp.int32), pos.astype(jnp.int32),
       qr, k_pages, v_pages)
@@ -178,10 +186,11 @@ def pow2_bucket(n: int, lo: int = 1) -> int:
 
 def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
                     acc_ref, m_ref, l_ref, *, ns: int, ts: int, tq: int,
-                    sm_scale: float):
+                    sm_scale: float, hkv: int):
+    # grid (B, nt, ns); kv heads looped inside (see _decode_kernel note)
     b = pl.program_id(0)
-    ti = pl.program_id(2)
-    si = pl.program_id(3)
+    ti = pl.program_id(1)
+    si = pl.program_id(2)
 
     @pl.when(si == 0)
     def _init():
@@ -197,31 +206,34 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         G = q_ref.shape[2]
         d = q_ref.shape[-1]
-        q = q_ref[0, 0].reshape(G * tq, d).astype(jnp.float32)
-        k = k_ref[0, :, 0, :].astype(jnp.float32)          # (ts, d)
-        v = v_ref[0, :, 0, :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (G*tq, ts)
-        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % tq
-        q_pos = pos0_ref[b] + ti * tq + rows
-        kv_pos = si * ts + jax.lax.broadcasted_iota(jnp.int32,
-                                                    logits.shape, 1)
-        logits = jnp.where(kv_pos <= q_pos, logits, _NEG_INF)
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, -1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, -1, keepdims=True)
-        m_ref[:] = m_new
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+        for h in range(hkv):
+            rows_sl = slice(h * G * tq, (h + 1) * G * tq)
+            q = q_ref[0, h].reshape(G * tq, d).astype(jnp.float32)
+            k = k_ref[0, :, h, :].astype(jnp.float32)      # (ts, d)
+            v = v_ref[0, :, h, :].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # (G*tq, ts)
+            rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % tq
+            q_pos = pos0_ref[b] + ti * tq + rows
+            kv_pos = si * ts + jax.lax.broadcasted_iota(jnp.int32,
+                                                        logits.shape, 1)
+            logits = jnp.where(kv_pos <= q_pos, logits, _NEG_INF)
+            m_prev = m_ref[rows_sl]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, -1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)
+            l_ref[rows_sl] = l_ref[rows_sl] * alpha + jnp.sum(
+                p, -1, keepdims=True)
+            m_ref[rows_sl] = m_new
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32)
 
     @pl.when(si == ns - 1)
     def _epilogue():
         G = q_ref.shape[2]
         d = q_ref.shape[-1]
-        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).reshape(G, tq, d).astype(
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(hkv, G, tq, d).astype(
             o_ref.dtype)
 
 
@@ -258,32 +270,31 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
     sm_scale = 1.0 / np.sqrt(d)
 
     kernel = functools.partial(_prefill_kernel, ns=ns, ts=block_s, tq=tq,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, hkv=Hkv)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, Hkv, nt, ns),
+            grid=(B, nt, ns),
             in_specs=[
-                pl.BlockSpec((1, 1, G, tq, d),
-                             lambda b, h, ti, si, p0: (b, h, 0, ti, 0)),
-                pl.BlockSpec((1, block_s, 1, d),
-                             lambda b, h, ti, si, p0: (b, si, h, 0)),
-                pl.BlockSpec((1, block_s, 1, d),
-                             lambda b, h, ti, si, p0: (b, si, h, 0)),
+                pl.BlockSpec((1, Hkv, G, tq, d),
+                             lambda b, ti, si, p0: (b, 0, 0, ti, 0)),
+                pl.BlockSpec((1, block_s, Hkv, d),
+                             lambda b, ti, si, p0: (b, si, 0, 0)),
+                pl.BlockSpec((1, block_s, Hkv, d),
+                             lambda b, ti, si, p0: (b, si, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, G, tq, d),
-                                   lambda b, h, ti, si, p0: (b, h, 0, ti, 0)),
+            out_specs=pl.BlockSpec((1, Hkv, G, tq, d),
+                                   lambda b, ti, si, p0: (b, 0, 0, ti, 0)),
             scratch_shapes=[
-                pltpu.VMEM((G * tq, d), jnp.float32),
-                pltpu.VMEM((G * tq, 1), jnp.float32),
-                pltpu.VMEM((G * tq, 1), jnp.float32),
+                pltpu.VMEM((Hkv * G * tq, d), jnp.float32),
+                pltpu.VMEM((Hkv * G * tq, 1), jnp.float32),
+                pltpu.VMEM((Hkv * G * tq, 1), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, d), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary",
-                                 "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(pos0.astype(jnp.int32), qr, ck, cv)
     return out.reshape(B, H, T, d).transpose(0, 2, 1, 3)

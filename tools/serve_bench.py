@@ -124,8 +124,12 @@ def main():
             cache, toks, acc = carry
             pos = jnp.full((bs, 1), 16 + (i % 64), jnp.int32)  # steady state
             t_in = (toks + salt.astype(jnp.int32) + i) % cfg.vocab_size
+            # kv_window=128 covers the steady-state positions (<= 79) and
+            # routes attention through the fused decode kernel, like the
+            # serving engines do
             logits, cache = llama.forward(params, t_in[:, None], cfg, cache,
-                                          pos, fmt=args.format)
+                                          pos, fmt=args.format,
+                                          kv_window=128)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
             return cache, nxt, acc + jnp.sum(nxt)
         _, _, acc = jax.lax.fori_loop(0, n_steps, body,
