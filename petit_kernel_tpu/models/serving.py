@@ -314,6 +314,142 @@ class Engine:
         return dict(self.finished)
 
 
+class SpecEngine(Engine):
+    """Draft-verify speculative decoding over the contiguous-cache engine
+    (greedy-exact: emitted tokens are identical to plain greedy decoding
+    of the target model — only the number of target forwards changes).
+
+    Per tick: the draft model proposes `gamma` tokens autoregressively
+    (gamma cheap forwards), the target verifies all of them in ONE
+    multi-token cached forward (the flash-prefill path), and each slot
+    accepts the longest agreeing prefix plus the target's own next token.
+    Acceptance is capped at gamma-1 so the draft cache always holds KV for
+    every accepted position (the gamma-th proposal is never written to the
+    draft cache); rejected-tail KV in both caches is stale garbage that
+    the per-query causal mask hides and later writes overwrite — the same
+    contract as chunked prefill.
+
+    Greedy only (temperature sampling would need rejection sampling);
+    requires target and draft to share the vocabulary.
+    """
+
+    def __init__(self, params, cfg: llama.LlamaConfig, draft_params,
+                 draft_cfg: Optional[llama.LlamaConfig] = None, *,
+                 gamma: int = 7, max_batch: int = 8, fmt: str = "nvfp4",
+                 draft_fmt: str = "bf16", cache_dtype=jnp.bfloat16,
+                 interpret: bool = False, seed: int = 0):
+        super().__init__(params, cfg, max_batch=max_batch, fmt=fmt,
+                         cache_dtype=cache_dtype, interpret=interpret,
+                         seed=seed)
+        self.gamma = gamma
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg or cfg
+        assert self.draft_cfg.vocab_size == cfg.vocab_size
+        assert self.draft_cfg.max_seq_len >= cfg.max_seq_len
+        self.dcache = llama.init_cache(self.draft_cfg, max_batch,
+                                       cache_dtype)
+        self.spec_stats = {"proposed": 0, "accepted": 0, "ticks": 0}
+
+        @functools.partial(jax.jit, static_argnames=("kv_window",))
+        def _draft_step(dparams, dcache, toks, pos, kv_window=None):
+            logits, dcache = llama.forward(
+                dparams, toks[:, None], self.draft_cfg, dcache,
+                pos[:, None], fmt=draft_fmt, interpret=interpret,
+                kv_window=kv_window)
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), dcache
+
+        @functools.partial(jax.jit, static_argnames=("kv_window",))
+        def _verify_step(params_, cache, seq, pos, kv_window=None):
+            # one cached multi-token forward scores every draft position
+            logits, cache = llama.forward(params_, seq, cfg, cache, pos,
+                                          fmt=fmt, interpret=interpret,
+                                          kv_window=kv_window)
+            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+        self._draft_step = _draft_step
+        self._verify_step = _verify_step
+        # draft cache must be prefilled alongside the target's
+        self._draft_prefill = jax.jit(
+            lambda p, t, c, q: llama.forward(p, t, self.draft_cfg, c, q,
+                                             fmt=draft_fmt,
+                                             interpret=interpret))
+
+    def _prefill_chunk(self, slot, toks, pos, kv_window=None):
+        _, dcaches = self._draft_prefill(
+            self.draft_params, toks,
+            [(k[slot:slot + 1], v[slot:slot + 1])
+             for (k, v) in self.dcache], pos)
+        for i, (k1, v1) in enumerate(dcaches):
+            k, v = self.dcache[i]
+            self.dcache[i] = (k.at[slot:slot + 1].set(k1),
+                              v.at[slot:slot + 1].set(v1))
+        return super()._prefill_chunk(slot, toks, pos, kv_window)
+
+    def step(self) -> int:
+        if self._pf:
+            self._advance_prefill()
+        if not self.active.any():
+            return len(self._pf)
+        assert not np.any(self.temps[self.active] > 0), \
+            "SpecEngine is greedy-only"
+        g = self.gamma
+        window = self._kv_window() or self.cfg.max_seq_len
+        # headroom: the verify step writes KV at pos..pos+g
+        window = min(self.cfg.max_seq_len,
+                     max(window, _next_pow2_128(int(
+                         self.pos[self.active].max()) + g + 1)))
+
+        # 1) draft proposes g tokens (batched, sequential)
+        draft_toks = np.zeros((self.B, g), np.int32)
+        cur = jnp.asarray(self.last_tok)
+        pos0 = jnp.asarray(self.pos)
+        for t in range(g):
+            cur, self.dcache = self._draft_step(
+                self.draft_params, self.dcache, cur, pos0 + t,
+                kv_window=window)
+            draft_toks[:, t] = np.asarray(cur)
+
+        # 2) target verifies [last_tok, d0..d_{g-1}] in one forward
+        seq = np.concatenate([self.last_tok[:, None], draft_toks], axis=1)
+        tpos = self.pos[:, None] + np.arange(g + 1)[None, :]
+        tgt, self.cache = self._verify_step(
+            self.params, self.cache, jnp.asarray(seq),
+            jnp.asarray(tpos.astype(np.int32)), kv_window=window)
+        tgt = np.asarray(tgt)                       # (B, g+1)
+
+        # 3) per-slot accept longest agreeing prefix (+ target bonus)
+        for slot in np.flatnonzero(self.active):
+            req = self.slot_req[slot]
+            n_acc = 0
+            while (n_acc < g - 1
+                   and tgt[slot, n_acc] == draft_toks[slot, n_acc]):
+                n_acc += 1
+            emitted = [int(t) for t in tgt[slot, :n_acc + 1]]
+            self.spec_stats["proposed"] += g
+            self.spec_stats["accepted"] += n_acc
+            done = False
+            for tok in emitted:
+                self.generated[req.uid].append(tok)
+                self.pos[slot] += 1
+                self.last_tok[slot] = tok
+                done = (len(self.generated[req.uid]) >= req.max_new_tokens
+                        or tok == req.eos_id
+                        or self.pos[slot] + g + 1 >= self.cfg.max_seq_len)
+                if done:
+                    break
+            if done:
+                self._finish(slot)
+        self.spec_stats["ticks"] += 1
+        return int(self.active.sum()) + len(self._pf)
+
+
+def _next_pow2_128(n: int) -> int:
+    w = 128
+    while w < n:
+        w *= 2
+    return w
+
+
 class PagedEngine(Engine):
     """Engine with a paged KV cache (vLLM-style block tables): KV pages are
     allocated on demand as sequences grow and returned to the shared pool

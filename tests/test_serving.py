@@ -300,3 +300,40 @@ def test_long_prompt_chunked_prefill(setup):
         assert out[0] == expect
     finally:
         serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS = old_chunk, old_buckets
+
+
+def test_spec_engine_matches_plain_greedy(setup):
+    """Speculative decoding is greedy-exact: SpecEngine's tokens equal the
+    plain Engine's for BOTH a perfect draft (the target itself) and an
+    unrelated random draft (low acceptance)."""
+    cfg, params = setup
+    reqs = lambda: [serving.Request(uid=i, tokens=p, max_new_tokens=6)
+                    for i, p in enumerate(_PROMPTS)]
+    want = serving.Engine(params, cfg, max_batch=2).run(reqs())
+
+    # (a) draft == target: near-total acceptance
+    eng_a = serving.SpecEngine(params, cfg, params, gamma=4, max_batch=2)
+    got_a = eng_a.run(reqs())
+    assert got_a == want
+    assert eng_a.spec_stats["accepted"] > 0
+
+    # (b) unrelated draft model: still exact, lower acceptance
+    draft = llama.init_params(cfg, jax.random.PRNGKey(99))
+    eng_b = serving.SpecEngine(params, cfg, draft, gamma=4, max_batch=2)
+    got_b = eng_b.run(reqs())
+    assert got_b == want
+
+
+def test_spec_engine_draft_smaller_model(setup):
+    """Draft with a different (smaller) architecture sharing the vocab."""
+    cfg, params = setup
+    import dataclasses
+    dcfg = dataclasses.replace(cfg, num_layers=1)
+    draft = llama.init_params(dcfg, jax.random.PRNGKey(3))
+    p = _PROMPTS[0]
+    want = serving.Engine(params, cfg, max_batch=1).run(
+        [serving.Request(uid=0, tokens=p, max_new_tokens=6)])
+    eng = serving.SpecEngine(params, cfg, draft, dcfg, gamma=3,
+                             max_batch=1)
+    got = eng.run([serving.Request(uid=0, tokens=p, max_new_tokens=6)])
+    assert got == want
