@@ -158,3 +158,28 @@ def test_multiple_choice_through_engine(setup):
     acc_eng, picks_eng = ev.score_multiple_choice(
         None, None, qs, engine=eng)
     assert picks_eng == picks_direct and acc_eng == acc_direct
+
+
+def test_fp4_quality_gate_trained_model():
+    """The BASELINE quality gate on a TRAINED model (not random init): a
+    2-layer Llama trained to ~100% on associative recall must keep its
+    accuracy through NVFP4 quantization (the round-1 harness only pinned
+    the protocol on random models, where the delta measures nothing)."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "quality_gate", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "quality_gate.py"))
+    qg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qg)
+    from petit_kernel_tpu.models import llama
+    cfg, params, train_acc = qg.train(steps=1200)
+    assert train_acc >= 0.95, train_acc
+    qs = qg.questions(np.random.default_rng(7), 60)
+    acc_bf16, _ = ev.score_multiple_choice(params, cfg, qs, fmt="bf16")
+    qp = llama.quantize_params(params, "nvfp4")
+    acc_fp4, _ = ev.score_multiple_choice(qp, cfg, qs, fmt="nvfp4",
+                                          interpret=True)
+    assert acc_bf16 >= 0.9, acc_bf16
+    # the reference's bar is a <=1.4-point drop at 70B; at this scale we
+    # allow 5 points of headroom on 60 questions
+    assert acc_bf16 - acc_fp4 <= 0.05, (acc_bf16, acc_fp4)
