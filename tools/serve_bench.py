@@ -100,6 +100,9 @@ def main():
     p.add_argument("--n2", type=int, default=40)
     p.add_argument("--format", default="nvfp4",
                    choices=["nvfp4", "mxfp4", "hybrid"])
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"],
+                   help="KV cache dtype (fp8 = float8_e4m3fn, upcast "
+                        "inside the fused attention kernel)")
     args = p.parse_args()
 
     cfg = llama.LlamaConfig.llama3_8b(max_seq_len=args.seq,
@@ -108,7 +111,9 @@ def main():
     rng = np.random.default_rng(0)
     params = build_model(cfg, rng, fmt=args.format)
     bs = args.bs
-    cache0 = llama.init_cache(cfg, bs)
+    cache0 = llama.init_cache(
+        cfg, bs, jnp.float8_e4m3fn if args.kv_dtype == "fp8"
+        else jnp.bfloat16)
     toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, bs), jnp.int32)
 
     # weight bytes streamed per decode step (FP4 words + bf16 scales)
