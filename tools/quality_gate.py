@@ -22,7 +22,6 @@ Prints one JSON line {"bf16": acc, "nvfp4": acc, ..., "delta_max": d}.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
