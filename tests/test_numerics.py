@@ -176,3 +176,32 @@ def test_gemm_reference_dtype_and_shape():
     qw, s, gs = reference.quantize_nvfp4(w)
     c = reference.gemm_reference(a, qw, s, gs, fmt="nvfp4")
     assert c.shape == (m, n) and c.dtype == a.dtype
+
+
+def test_e2m1_decode_matches_ml_dtypes():
+    """External-reference cross-check (analog of the reference validating
+    MXFP4 against AMD Quark's independent dequant,
+    tests/ops/test_fp4_gemm_quark.py:59-88): our E2M1 table vs ml_dtypes'
+    independent float4_e2m1fn implementation, all 16 codes."""
+    import ml_dtypes
+    if not hasattr(ml_dtypes, "float4_e2m1fn"):
+        pytest.skip("ml_dtypes too old for float4_e2m1fn")
+    codes = np.arange(16, dtype=np.uint8)
+    ours = formats.fp4_decode(codes)
+    ml = np.array(
+        [float(np.frombuffer(bytes([c]), dtype=ml_dtypes.float4_e2m1fn)[0])
+         for c in codes], np.float32)
+    np.testing.assert_array_equal(ours, ml)
+
+
+def test_e8m0_decode_matches_ml_dtypes():
+    """Same cross-check for E8M0 scales vs ml_dtypes float8_e8m0fnu
+    (255 = NaN excluded; byte 0 = 2^-127 on both sides)."""
+    import ml_dtypes
+    if not hasattr(ml_dtypes, "float8_e8m0fnu"):
+        pytest.skip("ml_dtypes too old for float8_e8m0fnu")
+    codes = np.arange(255, dtype=np.uint8)       # skip NaN (255)
+    ours = formats.e8m0_decode(codes).astype(np.float64)
+    ml = np.frombuffer(codes.tobytes(),
+                       dtype=ml_dtypes.float8_e8m0fnu).astype(np.float64)
+    np.testing.assert_array_equal(ours, ml)
