@@ -54,11 +54,18 @@ def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    # FP8 pools: convert the WHOLE block once before the head loop —
+    # slicing packed-f8 sub-axes per head costs a Mosaic relayout each
+    # (measured 49x on the kernel; one up-front convert is ~5 us)
+    kb, vb = k_ref[0], v_ref[0]
+    if kb.dtype != jnp.bfloat16:
+        kb = kb.astype(jnp.bfloat16)
+        vb = vb.astype(jnp.bfloat16)
     for h in range(hkv):
         rows = slice(h * gp, (h + 1) * gp)
         q = q_ref[0, h].astype(jnp.float32)               # (Gp, d)
-        k = k_ref[0, :, h, :].astype(jnp.float32)         # (ps, d)
-        v = v_ref[0, :, h, :].astype(jnp.float32)
+        k = kb[:, h, :].astype(jnp.float32)               # (ps, d)
+        v = vb[:, h, :].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # (Gp, ps)
@@ -206,11 +213,15 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         G = q_ref.shape[2]
         d = q_ref.shape[-1]
+        kb, vb = k_ref[0], v_ref[0]
+        if kb.dtype != jnp.bfloat16:   # see _decode_kernel FP8 note
+            kb = kb.astype(jnp.bfloat16)
+            vb = vb.astype(jnp.bfloat16)
         for h in range(hkv):
             rows_sl = slice(h * G * tq, (h + 1) * G * tq)
             q = q_ref[0, h].reshape(G * tq, d).astype(jnp.float32)
-            k = k_ref[0, :, h, :].astype(jnp.float32)      # (ts, d)
-            v = v_ref[0, :, h, :].astype(jnp.float32)
+            k = kb[:, h, :].astype(jnp.float32)            # (ts, d)
+            v = vb[:, h, :].astype(jnp.float32)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # (G*tq, ts)
