@@ -26,7 +26,8 @@ from .numerics import formats as _formats
 from .ops import layout as _layout
 from .ops import gemm as _gemm
 from .ops import solution as _solution
-from .ops.gemm import mul_nvfp4_a16, mul_mxfp4_a16, get_fp4_solutions
+from .ops.gemm import (mul_nvfp4_a16, mul_mxfp4_a16, mul_nvfp4p2_a16,
+                       mul_nvfp4_a8, mul_mxfp4_a8, get_fp4_solutions)
 from .ops.solution import (SolutionId, SolutionHints as PetitSolutionHints,
                            ElementB, MatmulType, default_hints)
 
@@ -84,6 +85,9 @@ __all__ = [
     "process_mxfp4_scales",
     "mul_nvfp4_a16",
     "mul_mxfp4_a16",
+    "mul_nvfp4p2_a16",
+    "mul_nvfp4_a8",
+    "mul_mxfp4_a8",
     "get_fp4_solutions",
     "DataType",
     "PetitSolutionHints",

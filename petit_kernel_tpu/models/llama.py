@@ -97,6 +97,9 @@ def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
     if fmt == "nvfp4":
         qw, scales, gs = ref_numerics.quantize_nvfp4(w)
         group = 16
+    elif fmt == "nvfp4p2":  # pow2-scale NVFP4: int-scale kernel fast path
+        qw, scales, gs = ref_numerics.quantize_nvfp4_pow2(w)
+        group = 16
     else:
         qw, scales, gs = ref_numerics.quantize_mxfp4(w)
         group = 32
@@ -128,10 +131,11 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
     else:
         n = layer["words"].shape[1]
         # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
-        pure_fmt = "mxfp4" if fmt == "mxfp4" else "nvfp4"
+        pure_fmt = fmt if fmt in ("mxfp4", "nvfp4p2") else "nvfp4"
         if interpret:
-            mul = (gemm_mod.mul_nvfp4_a16 if pure_fmt == "nvfp4"
-                   else gemm_mod.mul_mxfp4_a16)
+            mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
+                   "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+                   "mxfp4": gemm_mod.mul_mxfp4_a16}[pure_fmt]
             y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n,
                     k, -1, interpret=True)
         else:
@@ -262,7 +266,8 @@ def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
 
 
 def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
-              kv_window: Optional[int] = None):
+              kv_window: Optional[int] = None,
+              write_mask: Optional[jax.Array] = None):
     B, T, H = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     lin = functools.partial(linear, fmt=fmt, interpret=interpret)
@@ -284,10 +289,24 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
         ck, cv = cache  # (B, S, nkv, d)
         # per-sequence write offset: slots in a continuously-batched decode
         # step sit at different positions
-        upd = jax.vmap(
-            lambda c, new, s: jax.lax.dynamic_update_slice(c, new, (s, 0, 0)))
-        ck = upd(ck, k.astype(ck.dtype), pos[:, 0])
-        cv = upd(cv, v.astype(cv.dtype), pos[:, 0])
+        if write_mask is None:
+            upd = jax.vmap(lambda c, new, s: jax.lax.dynamic_update_slice(
+                c, new, (s, 0, 0)))
+            ck = upd(ck, k.astype(ck.dtype), pos[:, 0])
+            cv = upd(cv, v.astype(cv.dtype), pos[:, 0])
+        else:
+            # masked write: rows with write_mask[b]=False keep their cache
+            # content bit-exactly (a mid-prefill slot swept along in a
+            # batched decode step must not have position pos[b] of its
+            # already-written prompt KV overwritten with garbage). Restoring
+            # the old T-slice per row costs O(B*T*h*d) — no full-cache copy.
+            def upd1(c, new, s, a):
+                old = jax.lax.dynamic_slice(c, (s, 0, 0), new.shape)
+                return jax.lax.dynamic_update_slice(
+                    c, jnp.where(a, new, old), (s, 0, 0))
+            upd = jax.vmap(upd1)
+            ck = upd(ck, k.astype(ck.dtype), pos[:, 0], write_mask)
+            cv = upd(cv, v.astype(cv.dtype), pos[:, 0], write_mask)
         new_cache = (ck, cv)
         S = ck.shape[1]
         # Mosaic needs the head_dim lane axis % 128 on real TPU (interpret
@@ -358,12 +377,15 @@ def mlp(x, lp, *, fmt, interpret):
 
 def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
             fmt: str = "nvfp4", interpret: bool = False,
-            kv_window: Optional[int] = None):
+            kv_window: Optional[int] = None,
+            write_mask: Optional[jax.Array] = None):
     """tokens (B, T) -> logits (B, T, V); cache: list of per-layer (k, v) or
     None for full-sequence (prefill/eval) mode. kv_window (static): when
     set and T == 1, decode attention runs through the fused kernel reading
     only ~kv_window KV positions (engines pass the batch's bucketed max
-    length — the compile count stays O(log max_seq))."""
+    length — the compile count stays O(log max_seq)). write_mask (B,) bool:
+    rows with False keep their KV cache bit-exact (inactive/mid-prefill
+    slots in a batched decode step)."""
     B, T = tokens.shape
     x = params["embed"][tokens]
     if pos is None:
@@ -374,7 +396,7 @@ def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, c = attention(h, lp, None if cache is None else cache[i],
                          pos, cfg, mask, fmt=fmt, interpret=interpret,
-                         kv_window=kv_window)
+                         kv_window=kv_window, write_mask=write_mask)
         x = x + a
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + mlp(h, lp, fmt=fmt, interpret=interpret)

@@ -77,25 +77,34 @@ def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
     gate_vals, gate_idx = jax.lax.top_k(logits, topk)        # (T, topk)
     gate_w = jax.nn.softmax(gate_vals, axis=-1)              # (T, topk)
 
-    out = jnp.zeros((T, H), jnp.float32)
     flat_idx = gate_idx.reshape(-1)                          # (T*topk,)
     flat_w = gate_w.reshape(-1)
     flat_tok = jnp.repeat(jnp.arange(T), topk)
 
-    # gather each local expert's capacity bucket, then run all experts
-    # through ONE grouped fused kernel per projection (kernels/grouped.py)
-    xs, toks_l, wts_l = [], [], []
-    for e in range(num_local):
-        sel = flat_idx == expert_base + e                    # (T*topk,)
-        # stable order of selected slots, capacity-truncated
-        order = jnp.argsort(~sel)                            # selected first
-        slots = order[:cap]
-        valid = sel[slots]
-        toks = flat_tok[slots]
-        xs.append(x[toks] * valid[:, None].astype(x.dtype))  # (cap, H)
-        toks_l.append(toks)
-        wts_l.append(flat_w[slots] * valid)
-    xsg = jnp.stack(xs)                                      # (El, cap, H)
+    # Route with ONE sort over all (token, expert) pairs — O(sort(T*topk)),
+    # independent of E (an O(E) per-expert argsort loop is hostile at
+    # DeepSeek-class E=64). Stable sort keeps first-come-first-served
+    # order within each expert, matching capacity-drop semantics.
+    order = jnp.argsort(flat_idx, stable=True)               # (T*topk,)
+    sorted_e = flat_idx[order]
+    # rank of each pair within its expert = position - expert's first slot
+    starts = jnp.searchsorted(sorted_e, jnp.arange(E))       # (E,)
+    rank = jnp.arange(T * topk) - starts[sorted_e]
+    local_e = sorted_e - expert_base
+    valid = (local_e >= 0) & (local_e < num_local) & (rank < cap)
+    # scatter each pair into its (expert, rank) bucket slot; invalid /
+    # overflow pairs land in a sacrificial slot past the buckets
+    dest = jnp.where(valid, local_e * cap + rank, num_local * cap)
+    nslot = num_local * cap + 1
+    buf_tok = jnp.zeros(nslot, jnp.int32).at[dest].set(
+        flat_tok[order].astype(jnp.int32))
+    buf_w = jnp.zeros(nslot, jnp.float32).at[dest].set(flat_w[order])
+    buf_valid = jnp.zeros(nslot, bool).at[dest].set(valid)
+    toks_g = buf_tok[:num_local * cap].reshape(num_local, cap)
+    w_g = (buf_w[:num_local * cap] * buf_valid[:num_local * cap]
+           ).reshape(num_local, cap)
+    vmask = buf_valid[:num_local * cap].reshape(num_local, cap)
+    xsg = x[toks_g] * vmask[..., None].astype(x.dtype)       # (El, cap, H)
 
     from ..ops.kernels import grouped as grouped_mod
     from ..ops.solution import ElementB
@@ -110,10 +119,27 @@ def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
     u = gmul(xsg, experts["w_up"])
     h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
     y = gmul(h, experts["w_down"])                           # (El, cap, H)
-    for e in range(num_local):
-        out = out.at[toks_l[e]].add(y[e].astype(jnp.float32)
-                                    * wts_l[e][:, None])
+    # one scatter-add back to tokens (invalid slots carry weight 0)
+    out = jnp.zeros((T, H), jnp.float32).at[toks_g.reshape(-1)].add(
+        y.reshape(-1, H).astype(jnp.float32) * w_g.reshape(-1, 1))
     return out
+
+
+def routing_drop_count(x: jax.Array, router_w: jax.Array,
+                       moe_cfg: MoEConfig) -> jax.Array:
+    """Number of (token, expert) assignments dropped by capacity overflow
+    for this batch — the observability counter for capacity-factor
+    routing (overflow silently zeroes contributions in moe_mlp). Serving
+    loops can log this periodically; it shares the router math but runs
+    outside the hot path."""
+    T = x.shape[0]
+    E, topk = moe_cfg.num_experts, moe_cfg.top_k
+    cap = int(np.ceil(T * topk / E * moe_cfg.capacity_factor))
+    cap = max(8, -(-cap // 8) * 8)
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
+    _, gate_idx = jax.lax.top_k(logits, topk)
+    counts = jnp.zeros(E, jnp.int32).at[gate_idx.reshape(-1)].add(1)
+    return jnp.maximum(counts - cap, 0).sum()
 
 
 def moe_mlp(x: jax.Array, router_w: jax.Array, experts: dict,

@@ -93,18 +93,27 @@ def release_slot(cache: PagedKVCache, slot: int) -> None:
     cache.block_tables = cache.block_tables.at[slot].set(cache.scratch_page)
 
 
-def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size):
+def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size,
+              write_mask=None):
     """Scatter one step's k/v (B, T, h, d) into the pools at positions
     pos (B, T) using block-table rows bt_rows (B, max_pages).
 
     One flat scatter per pool (not a dynamic_update_slice per token): the
     (page, offset) pair is a single row index into the pool viewed as
     (num_pages * page_size, h, d), so XLA emits one vectorized scatter.
+
+    write_mask (B,) bool: rows with False get their writes redirected to
+    the scratch page (last physical page) — a mid-prefill slot swept along
+    in a batched decode step must not scribble into its own real pages.
     """
     k_pages, v_pages = pages_kv
     B, T = pos.shape
     page_idx = jnp.take_along_axis(bt_rows, pos // page_size, axis=1)
     flat_idx = (page_idx * page_size + pos % page_size).reshape(-1)
+    if write_mask is not None:
+        scratch_flat = (k_pages.shape[0] - 1) * page_size  # scratch pg, off 0
+        mask_flat = jnp.repeat(write_mask, T)
+        flat_idx = jnp.where(mask_flat, flat_idx, scratch_flat)
 
     def write_one(pages, new):
         P, ps, h, d = pages.shape
@@ -117,7 +126,7 @@ def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size):
 
 
 def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
-                    page_size, interpret, kv_window=None):
+                    page_size, interpret, kv_window=None, write_mask=None):
     """llama.attention with the KV in pages. Returns (out, new_pages).
 
     With kv_window set and T == 1 the fused decode kernel reads ONLY the
@@ -143,7 +152,8 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
     q = llama.rope(q, pos, cfg.rope_theta)
     k = llama.rope(k, pos, cfg.rope_theta)
 
-    new_pages = _write_kv(pages_kv, bt_rows, k, v, pos, page_size)
+    new_pages = _write_kv(pages_kv, bt_rows, k, v, pos, page_size,
+                          write_mask=write_mask)
     k_pages, v_pages = new_pages
     kernel_ok = (d % 128 == 0 or interpret
                  or jax.default_backend() == "cpu")
@@ -177,11 +187,12 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
 
 def forward_paged(params, tokens, cfg: llama.LlamaConfig, pages, bt, pos, *,
                   page_size: int, fmt: str = "nvfp4",
-                  interpret: bool = False, kv_window=None):
+                  interpret: bool = False, kv_window=None, write_mask=None):
     """llama.forward with paged KV: (logits, new_pages). `pages` is the
     per-layer list, `bt` the (B, max_pages) block table (pre-grown via
     ensure_capacity), pos (B, T) absolute positions. kv_window: see
-    llama.forward."""
+    llama.forward. write_mask (B,) bool: rows with False write to the
+    scratch page only (see _write_kv)."""
     B, T = tokens.shape
     x = params["embed"][tokens]
     new_pages = []
@@ -189,7 +200,8 @@ def forward_paged(params, tokens, cfg: llama.LlamaConfig, pages, bt, pos, *,
         h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, np_i = attention_paged(h, lp, pages[i], bt, pos, cfg, fmt=fmt,
                                   page_size=page_size, interpret=interpret,
-                                  kv_window=kv_window)
+                                  kv_window=kv_window,
+                                  write_mask=write_mask)
         new_pages.append(np_i)
         x = x + a
         h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)

@@ -100,16 +100,19 @@ class Engine:
         self.top_k = top_k
         self._key = jax.random.PRNGKey(seed)
         if forward_fn is None:
-            def forward_fn(p, toks, cache_, pos_, kv_window=None):
+            def forward_fn(p, toks, cache_, pos_, kv_window=None,
+                           write_mask=None):
                 return llama.forward(p, toks, cfg, cache_, pos_,
                                      fmt=fmt, interpret=interpret,
-                                     kv_window=kv_window)
+                                     kv_window=kv_window,
+                                     write_mask=write_mask)
         self._forward = forward_fn
         # custom forward_fns (e.g. parallel.tp.make_tp_step) may not take
-        # kv_window; detect once and fall back to the full-window path
+        # kv_window / write_mask; detect once and fall back
         import inspect
-        self._fwd_takes_window = (
-            "kv_window" in inspect.signature(forward_fn).parameters)
+        _fwd_params = inspect.signature(forward_fn).parameters
+        self._fwd_takes_window = "kv_window" in _fwd_params
+        self._fwd_takes_mask = "write_mask" in _fwd_params
         self.cache = (cache if cache is not None
                       else llama.init_cache(cfg, max_batch, cache_dtype))
         self.pos = np.zeros(max_batch, np.int32)       # next position
@@ -133,24 +136,68 @@ class Engine:
                 lambda p, t, c, q: forward_fn(p, t, c, q))
 
         @functools.partial(jax.jit, static_argnames=("kv_window",))
-        def _decode_step(params, cache, toks, pos, key, temps,
+        def _decode_step(params, cache, toks, pos, key, temps, active,
                          kv_window=None):
+            kw = {}
             if self._fwd_takes_window:
-                logits, cache = forward_fn(params, toks[:, None], cache,
-                                           pos[:, None],
-                                           kv_window=kv_window)
-            else:
-                logits, cache = forward_fn(params, toks[:, None], cache,
-                                           pos[:, None])
+                kw["kv_window"] = kv_window
+            if self._fwd_takes_mask:
+                # inactive / mid-prefill rows must not have their KV
+                # overwritten by the batched step (their sampled token is
+                # discarded, but a corrupted cache row would be attended
+                # by every later decode step of that slot)
+                kw["write_mask"] = active
+            logits, cache = forward_fn(params, toks[:, None], cache,
+                                       pos[:, None], **kw)
             return sample_next(logits[:, -1], key, temps, top_k), cache
 
         self._decode_step = _decode_step
+
+        @functools.partial(jax.jit, static_argnames=("kv_window", "steps"))
+        def _decode_block(params, cache, toks, pos, key, temps, active,
+                          steps, kv_window=None):
+            # K decode steps per host round-trip (lax.scan): the engine's
+            # per-token host sync (np.asarray each tick) costs one relay
+            # round trip (~29 ms here) — a block amortizes it over K tokens.
+            def body(carry, _):
+                cache, toks, pos, key = carry
+                key, sub = jax.random.split(key)
+                kw = {}
+                if self._fwd_takes_window:
+                    kw["kv_window"] = kv_window
+                if self._fwd_takes_mask:
+                    kw["write_mask"] = active
+                logits, cache = forward_fn(params, toks[:, None], cache,
+                                           pos[:, None], **kw)
+                nxt = sample_next(logits[:, -1], sub, temps, top_k)
+                return (cache, nxt, pos + 1, key), nxt
+            (cache, _, _, _), out = jax.lax.scan(
+                body, (cache, toks, pos, key), None, length=steps)
+            return out, cache                       # out: (steps, B)
+
+        self._decode_block = _decode_block
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
 
     # -- scheduling ---------------------------------------------------------
+
+    def reset(self) -> None:
+        """Clear all scheduling state (keep compiled programs and cache
+        storage): benchmark warm-up runs reuse one engine instance, since
+        the jitted closures are per-instance."""
+        self.pos[:] = 0
+        self.active[:] = False
+        self.last_tok[:] = 0
+        self.temps[:] = 0.0
+        for slot, r in enumerate(self.slot_req):
+            if r is not None:
+                self._release(slot)
+        self.slot_req = [None] * self.B
+        self.generated = {}
+        self.finished = {}
+        self._pf = []
 
     def has_capacity(self) -> bool:
         return any(r is None for r in self.slot_req)
@@ -248,13 +295,14 @@ class Engine:
             logits, _ = self._prefill_forward(self.params, toks, cache, pos)
         return logits
 
-    def _kv_window(self) -> Optional[int]:
+    def _kv_window(self, extra: int = 0) -> Optional[int]:
         """Bucketed max attended length over active slots: a power-of-two
         multiple of 128, so the decode step compiles O(log max_seq) distinct
-        programs while attention traffic tracks actual context."""
+        programs while attention traffic tracks actual context. `extra`
+        reserves headroom for a multi-step decode block."""
         if not self._fwd_takes_window or not self.active.any():
             return None
-        need = int(self.pos[self.active].max()) + 1
+        need = int(self.pos[self.active].max()) + 1 + extra
         w = 128
         while w < need:
             w *= 2
@@ -265,12 +313,22 @@ class Engine:
         nxt, self.cache = self._decode_step(self.params, self.cache, toks,
                                             pos, self._next_key(),
                                             jnp.asarray(self.temps),
+                                            jnp.asarray(self.active),
                                             kv_window=self._kv_window())
         return nxt
 
     def _release(self, slot: int) -> None:
         """Free per-slot cache resources (no-op for the contiguous cache:
         prefill of the next occupant overwrites the rows)."""
+
+    def _run_decode_block(self, toks, pos, steps: int):
+        """Device half of step_block: K chained decode steps, one host
+        round-trip. Returns (steps, B) token ids."""
+        out, self.cache = self._decode_block(
+            self.params, self.cache, toks, pos, self._next_key(),
+            jnp.asarray(self.temps), jnp.asarray(self.active), steps,
+            kv_window=self._kv_window(extra=steps))
+        return out
 
     # ------------------------------------------------------------------------
 
@@ -303,14 +361,68 @@ class Engine:
                     self._finish(slot)
         return int(self.active.sum()) + len(self._pf)
 
-    def run(self, requests: list[Request]) -> dict[int, list[int]]:
+    def _block_budget(self, max_steps: int) -> int:
+        """Largest decode-block size that (a) never writes KV past
+        max_seq_len for any active slot and (b) does not overshoot the
+        shortest remaining request (so finishing slots free promptly for
+        queued admissions). Greedy token streams are identical to K=1."""
+        k = max_steps
+        for slot in np.flatnonzero(self.active):
+            req = self.slot_req[slot]
+            k = min(k,
+                    self.cfg.max_seq_len - int(self.pos[slot]) - 1,
+                    req.max_new_tokens - len(self.generated[req.uid]))
+        return max(1, k)
+
+    def step_block(self, max_steps: int) -> int:
+        """Like step(), but decodes up to max_steps tokens per active slot
+        in ONE jitted program (lax.scan) — one host round-trip per block
+        instead of per token. Slots hitting eos mid-block have their
+        surplus tokens discarded on host; the surplus KV those steps wrote
+        is overwritten position-by-position before it is ever attended
+        (the chunked-prefill garbage contract). Prefill chunks still
+        advance one per call."""
+        if self._pf:
+            self._advance_prefill()
+        if not self.active.any():
+            return len(self._pf)
+        steps = self._block_budget(max_steps)
+        if steps <= 1:
+            return self.step()
+        out = np.asarray(self._run_decode_block(
+            jnp.asarray(self.last_tok), jnp.asarray(self.pos), steps))
+        for slot in np.flatnonzero(self.active):
+            req = self.slot_req[slot]
+            done = False
+            for t in range(steps):
+                tok = int(out[t, slot])
+                self.generated[req.uid].append(tok)
+                self.pos[slot] += 1
+                self.last_tok[slot] = tok
+                done = (len(self.generated[req.uid]) >= req.max_new_tokens
+                        or tok == req.eos_id
+                        or self.pos[slot] + 1 >= self.cfg.max_seq_len)
+                if done:
+                    break
+            if done:
+                self._finish(slot)
+        return int(self.active.sum()) + len(self._pf)
+
+    def run(self, requests: list[Request],
+            decode_block: int = 1) -> dict[int, list[int]]:
         """Serve a list of requests to completion with continuous batching:
-        new requests join as slots free up, decode proceeds every tick."""
+        new requests join as slots free up, decode proceeds every tick.
+        decode_block > 1 chains that many decode steps per host round-trip
+        (step_block) whenever no prefill is pending — the engine-throughput
+        mode (greedy streams are identical to decode_block=1)."""
         pending = list(requests)
         while pending or self.active.any() or self._pf:
             while pending and self.has_capacity():
                 self.add_request(pending.pop(0))
-            self.step()
+            if decode_block > 1 and not self._pf:
+                self.step_block(decode_block)
+            else:
+                self.step()
         return dict(self.finished)
 
 
@@ -351,19 +463,21 @@ class SpecEngine(Engine):
         self.spec_stats = {"proposed": 0, "accepted": 0, "ticks": 0}
 
         @functools.partial(jax.jit, static_argnames=("kv_window",))
-        def _draft_step(dparams, dcache, toks, pos, kv_window=None):
+        def _draft_step(dparams, dcache, toks, pos, active, kv_window=None):
             logits, dcache = llama.forward(
                 dparams, toks[:, None], self.draft_cfg, dcache,
                 pos[:, None], fmt=draft_fmt, interpret=interpret,
-                kv_window=kv_window)
+                kv_window=kv_window, write_mask=active)
             return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), dcache
 
         @functools.partial(jax.jit, static_argnames=("kv_window",))
-        def _verify_step(params_, cache, seq, pos, kv_window=None):
-            # one cached multi-token forward scores every draft position
+        def _verify_step(params_, cache, seq, pos, active, kv_window=None):
+            # one cached multi-token forward scores every draft position;
+            # inactive / mid-prefill rows keep their KV (write_mask)
             logits, cache = llama.forward(params_, seq, cfg, cache, pos,
                                           fmt=fmt, interpret=interpret,
-                                          kv_window=kv_window)
+                                          kv_window=kv_window,
+                                          write_mask=active)
             return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
         self._draft_step = _draft_step
@@ -373,6 +487,12 @@ class SpecEngine(Engine):
             lambda p, t, c, q: llama.forward(p, t, self.draft_cfg, c, q,
                                              fmt=draft_fmt,
                                              interpret=interpret))
+
+    def step_block(self, max_steps: int) -> int:
+        """Speculative ticks already emit multiple tokens per round trip;
+        a plain decode block would bypass the draft model AND desync the
+        draft cache. run(decode_block=K) therefore degrades to spec ticks."""
+        return self.step()
 
     def _prefill_chunk(self, slot, toks, pos, kv_window=None):
         _, dcaches = self._draft_prefill(
@@ -403,9 +523,10 @@ class SpecEngine(Engine):
         draft_toks = np.zeros((self.B, g), np.int32)
         cur = jnp.asarray(self.last_tok)
         pos0 = jnp.asarray(self.pos)
+        act = jnp.asarray(self.active)
         for t in range(g):
             cur, self.dcache = self._draft_step(
-                self.draft_params, self.dcache, cur, pos0 + t,
+                self.draft_params, self.dcache, cur, pos0 + t, act,
                 kv_window=window)
             draft_toks[:, t] = np.asarray(cur)
 
@@ -414,7 +535,7 @@ class SpecEngine(Engine):
         tpos = self.pos[:, None] + np.arange(g + 1)[None, :]
         tgt, self.cache = self._verify_step(
             self.params, self.cache, jnp.asarray(seq),
-            jnp.asarray(tpos.astype(np.int32)), kv_window=window)
+            jnp.asarray(tpos.astype(np.int32)), act, kv_window=window)
         tgt = np.asarray(tgt)                       # (B, g+1)
 
         # 3) per-slot accept longest agreeing prefix (+ target bonus)
@@ -491,15 +612,34 @@ class PagedEngine(Engine):
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("kv_window",))
-        def _decode_step(params, pages, bt, toks, pos, key, temps,
+        def _decode_step(params, pages, bt, toks, pos, key, temps, active,
                          kv_window=None):
             logits, pages = paged.forward_paged(
                 params, toks[:, None], cfg, pages, bt, pos[:, None],
                 page_size=page_size, fmt=fmt, interpret=interpret,
-                kv_window=kv_window)
+                kv_window=kv_window, write_mask=active)
             return sample_next(logits[:, -1], key, temps, top_k), pages
 
         self._decode_step = _decode_step
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_window", "steps"))
+        def _decode_block(params, pages, bt, toks, pos, key, temps, active,
+                          steps, kv_window=None):
+            def body(carry, _):
+                pages, toks, pos, key = carry
+                key, sub = jax.random.split(key)
+                logits, pages = paged.forward_paged(
+                    params, toks[:, None], cfg, pages, bt, pos[:, None],
+                    page_size=page_size, fmt=fmt, interpret=interpret,
+                    kv_window=kv_window, write_mask=active)
+                nxt = sample_next(logits[:, -1], sub, temps, top_k)
+                return (pages, nxt, pos + 1, key), nxt
+            (pages, _, _, _), out = jax.lax.scan(
+                body, (pages, toks, pos, key), None, length=steps)
+            return out, pages
+
+        self._decode_block = _decode_block
 
     def score_forward(self, toks: jax.Array) -> jax.Array:
         """Eval scoring through the paged serving forward (scratch pool)."""
@@ -541,8 +681,20 @@ class PagedEngine(Engine):
         nxt, self.pc.pages = self._decode_step(
             self.params, self.pc.pages, self.pc.block_tables, toks, pos,
             self._next_key(), jnp.asarray(self.temps),
-            kv_window=self._kv_window())
+            jnp.asarray(self.active), kv_window=self._kv_window())
         return nxt
+
+    def _run_decode_block(self, toks, pos, steps: int):
+        # grow block tables to cover the whole block's write range up front
+        for slot in np.flatnonzero(self.active):
+            self._paged.ensure_capacity(self.pc, slot,
+                                        int(self.pos[slot]) + steps)
+        out, self.pc.pages = self._decode_block(
+            self.params, self.pc.pages, self.pc.block_tables, toks, pos,
+            self._next_key(), jnp.asarray(self.temps),
+            jnp.asarray(self.active), steps,
+            kv_window=self._kv_window(extra=steps))
+        return out
 
     def _release(self, slot: int) -> None:
         self._paged.release_slot(self.pc, slot)

@@ -106,6 +106,66 @@ def quantize_nvfp4(w: np.ndarray, global_scale: float | None = None):
     return formats.pack_fp4_pairs(q.reshape(n, k)), scales, global_scale
 
 
+def quantize_nvfp4_pow2(w: np.ndarray, global_scale: float | None = None):
+    """NVFP4 with POWER-OF-TWO per-group scales ("nvfp4p2"): same container
+    format as quantize_nvfp4 (E2M1 nibbles, E4M3 scale bytes, f32 global
+    scale, group size 16) but every stored scale is an exact power of two.
+
+    Why: the fused kernel can then apply scales by the integer exponent add
+    (the MXFP4 fast path, ops/kernels/fused._int_scale_quarter) instead of
+    the bf16 slab multiply — the one VPU cost separating NVFP4 from MXFP4
+    decode throughput (measured ~15-21 us of a ~100 us kernel on v5e).
+
+    Numerics: group dynamic range still adapts every 16 elements (vs MXFP4's
+    32), but the scale loses E4M3's 3 mantissa bits — values absorb the
+    mantissa factor and re-round in E2M1. Quality sits between exact NVFP4
+    and MXFP4; measure with tools/quality_gate.py before adopting. This is
+    the re-quantization variant sanctioned as an opt-in accuracy trade, NOT
+    a drop-in replacement for checkpoints that need exact NVFP4 semantics.
+
+    E4M3 pow2 range: 2^-9 (subnormal 0x01) .. 2^8 (0x78). global_scale
+    anchors the largest group at 2^8 so the full 18-octave byte range is
+    available downward.
+    """
+    n, k = w.shape
+    g = formats.NVFP4_GROUP_SIZE
+    assert k % g == 0
+    w = w.astype(np.float32)
+    wg = w.reshape(n, k // g, g)
+    gmax = np.abs(wg).max(axis=-1)                         # (n, k/g)
+    if global_scale is None:
+        amax = np.abs(w).max()
+        if amax > 0:
+            # largest group's pow2 scale lands exactly on byte 2^8
+            global_scale = np.float32(
+                2.0 ** (np.ceil(np.log2(amax / 6.0)) - 8))
+        else:
+            global_scale = np.float32(1.0)
+    global_scale = np.float32(global_scale)
+    # smallest 2^e with gmax <= 6 * 2^e * gs, clipped to the E4M3 pow2 range
+    safe = np.where(gmax > 0, gmax, 1.0)
+    e = np.ceil(np.log2(safe / (6.0 * global_scale))).astype(np.int32)
+    e = np.clip(e, -9, 8)
+    # E4M3 byte for 2^e: subnormals 2^-9..2^-7 are mantissa {1,2,4} at
+    # exponent field 0; normals 2^-6..2^8 are mantissa 0, exp field e+7
+    sub = np.uint8(1) << (e + 9).clip(0, 2).astype(np.uint8)
+    scales = np.where(e < -6, sub, ((e + 7) << 3)).astype(np.uint8)
+    s_dec = formats.e4m3_decode(scales)
+    denom = s_dec * global_scale
+    denom = np.where(denom == 0, 1.0, denom)
+    q = formats.fp4_encode(wg / denom[:, :, None])
+    return formats.pack_fp4_pairs(q.reshape(n, k)), scales, global_scale
+
+
+def requantize_nvfp4_pow2(qweights: np.ndarray, scales: np.ndarray,
+                          global_scale: float):
+    """Convert an existing NVFP4 tensor (E4M3 scales) to the pow2-scale
+    variant by dequantizing and re-quantizing. Loader-side helper for
+    pre-quantized checkpoints served in "nvfp4p2" mode."""
+    deq = dequant_nvfp4(qweights, scales) * np.float32(global_scale)
+    return quantize_nvfp4_pow2(deq)
+
+
 def quantize_mxfp4(w: np.ndarray):
     """Quantize dense (n, k) f32 -> (qweights u8 (n,k/2), scales u8 (n,k/32),
     global_scale f32=1.0). Scale = power-of-two s.t. group amax maps <= 6."""

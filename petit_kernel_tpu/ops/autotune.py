@@ -270,11 +270,18 @@ def load_table(kind: str | None = None) -> bool:
     with open(path) as f:
         raw = json.load(f)
     table = {}
-    for ks, v in raw.items():
-        parts = ks.split(",")
-        # 6-field keys are the legacy (pre-grouped) format: grouped=False
-        grouped = parts[6] == "True" if len(parts) > 6 else False
-        table[(int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]),
-               int(parts[4]), parts[5] == "True", grouped)] = v
+    # two passes so current 7-field keys always win over legacy 6-field
+    # keys that parse to the same tuple (JSON iteration order must not
+    # decide which solution dispatches)
+    for want_len7 in (False, True):
+        for ks, v in raw.items():
+            parts = ks.split(",")
+            if (len(parts) > 6) != want_len7:
+                continue
+            # 6-field keys are the legacy (pre-grouped) format: grouped=False
+            grouped = parts[6] == "True" if len(parts) > 6 else False
+            table[(int(parts[0]), int(parts[1]), int(parts[2]),
+                   int(parts[3]), int(parts[4]), parts[5] == "True",
+                   grouped)] = v
     gemm_mod.set_tuned_table(table)
     return True

@@ -163,7 +163,7 @@ def _validate_and_prepare(a, b, s, m, n, k, group: int):
 
 def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
          element_b: ElementB, interpret: bool = False,
-         hints: Optional[SolutionHints] = None):
+         hints: Optional[SolutionHints] = None, pow2_scale: bool = False):
     if size_m == 0 or size_n == 0 or size_k == 0:
         return jnp.zeros((size_m, size_n), dtype=jnp.asarray(a).dtype)
     group = 16 if element_b == ElementB.NVFP4 else 32
@@ -177,6 +177,10 @@ def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
         hints = solution_mod.default_hints(b_type=element_b)
     sid = resolve_solution(size_m, size_n, size_k, element_b, mfma,
                            solution_id=solution_id, hints=hints)
+    if pow2_scale and not sid.pow2_scale and not sid.high_precision:
+        # nvfp4p2 tensors reuse the NVFP4 tuned/heuristic block shapes; the
+        # pow2 bit only switches the in-kernel scale apply to the int path
+        sid = dataclasses.replace(sid, pow2_scale=True)
     # fp16 activations: TPU MXU is bf16/f32-native; compute in bf16 (or f32
     # with a high-precision solution) and cast back. Documented deviation
     # from the reference's true-fp16 MFMA path.
@@ -216,6 +220,66 @@ def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
                 ElementB.MXFP4, interpret=interpret, hints=hints)
 
 
+def _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+              element_b: ElementB, interpret: bool = False):
+    if size_m == 0 or size_n == 0 or size_k == 0:
+        return jnp.zeros((size_m, size_n), dtype=jnp.asarray(a).dtype)
+    group = 16 if element_b == ElementB.NVFP4 else 32
+    a, b, s = _validate_and_prepare(a, b, s, size_m, size_n, size_k, group)
+    in_dtype = a.dtype
+    if solution_id is not None and solution_id >= 0:
+        sid = SolutionId.from_repr(solution_id)
+        if sid.mfma_type != MatmulType.INT8:
+            raise ValueError(
+                f"solution {sid} is not an INT8 (W4A8) solution")
+    sid = resolve_solution(size_m, size_n, size_k, element_b,
+                           MatmulType.INT8, solution_id=solution_id)
+    if sid.mfma_type != MatmulType.INT8:
+        sid = dataclasses.replace(sid, mfma_type=MatmulType.INT8,
+                                  weight_cache=False, pow2_scale=False)
+    out = fused.fused_mul_w4a8(a.astype(jnp.bfloat16), b, s,
+                               jnp.asarray(global_scale, jnp.float32),
+                               sid=sid, out_dtype=jnp.bfloat16,
+                               interpret=interpret)
+    return out.astype(in_dtype) if in_dtype != jnp.bfloat16 else out
+
+
+def mul_nvfp4_a8(a, b, s, global_scale, size_m, size_n, size_k,
+                 solution_id: int = -1, *, interpret: bool = False):
+    """W4A8: same NVFP4 operands as mul_nvfp4_a16, but activations are
+    quantized per token to int8 and the MXU runs int8 dots (measured 1.94x
+    bf16 MXU throughput on v5e) — the TPU analog of the reference's
+    kMatmulMfmaTypeFp8 third compute type (gemm.h:63-67,
+    dequant.cuh:326-363). Opt-in numerics trade (per-column weight
+    requantization + int8 rounding); quality-gate before serving with it
+    (tools/quality_gate.py). Intended for the compute-bound large-m
+    (prefill) regime; decode stays on the a16 path (bandwidth-bound, no
+    MXU win)."""
+    return _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k,
+                     solution_id, ElementB.NVFP4, interpret=interpret)
+
+
+def mul_mxfp4_a8(a, b, s, global_scale, size_m, size_n, size_k,
+                 solution_id: int = -1, *, interpret: bool = False):
+    """MXFP4 W4A8 variant (see mul_nvfp4_a8)."""
+    return _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k,
+                     solution_id, ElementB.MXFP4, interpret=interpret)
+
+
+def mul_nvfp4p2_a16(a, b, s, global_scale, size_m, size_n, size_k,
+                    solution_id: int = -1, *, interpret: bool = False,
+                    hints: Optional[SolutionHints] = None):
+    """NVFP4 with power-of-two scales (beyond-reference format "nvfp4p2",
+    numerics/reference.quantize_nvfp4_pow2): identical container/layout to
+    NVFP4, but the kernel applies scales via the integer exponent add (the
+    MXFP4 fast path). ONLY valid for tensors quantized by
+    quantize_nvfp4_pow2 — arbitrary E4M3 scales through this entry produce
+    wrong results (the int add assumes zero scale mantissa bits)."""
+    return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+                ElementB.NVFP4, interpret=interpret, hints=hints,
+                pow2_scale=True)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable wrapper (custom VJP): lets gradients flow through the fused
 # kernel for LoRA-style finetuning / the multichip train dry run. Forward is
@@ -227,7 +291,8 @@ def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def mul_fp4_diff(fmt: str, size_k: int, a, b, s, gs):
     m, n = a.shape[0], b.shape[1]
-    mul = mul_nvfp4_a16 if fmt == "nvfp4" else mul_mxfp4_a16
+    mul = {"nvfp4": mul_nvfp4_a16, "nvfp4p2": mul_nvfp4p2_a16,
+           "mxfp4": mul_mxfp4_a16}[fmt]
     return mul(a, b, s, gs, m, n, size_k, -1)
 
 
@@ -239,7 +304,7 @@ def _mul_fp4_fwd(fmt, size_k, a, b, s, gs):
 def _mul_fp4_bwd(fmt, size_k, res, g):
     from .kernels import fused as fused_mod
     a, b, s, gs, y = res
-    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
+    eb = ElementB.MXFP4 if fmt == "mxfp4" else ElementB.NVFP4
     deq = fused_mod.dequant_tpu_layout(b, s, element_b=eb)   # (kp, n) bf16
     w = deq[:size_k] * jnp.asarray(gs, jnp.float32).astype(jnp.bfloat16)
     da = jnp.dot(g.astype(jnp.bfloat16), w.T,

@@ -54,35 +54,43 @@ def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # FP8 pools: convert the WHOLE block once before the head loop —
-    # slicing packed-f8 sub-axes per head costs a Mosaic relayout each
-    # (measured 49x on the kernel; one up-front convert is ~5 us)
-    kb, vb = k_ref[0], v_ref[0]
-    if kb.dtype != jnp.bfloat16:
-        kb = kb.astype(jnp.bfloat16)
-        vb = vb.astype(jnp.bfloat16)
-    for h in range(hkv):
-        rows = slice(h * gp, (h + 1) * gp)
-        q = q_ref[0, h].astype(jnp.float32)               # (Gp, d)
-        k = kb[:, h, :].astype(jnp.float32)               # (ps, d)
-        v = vb[:, h, :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (Gp, ps)
-        kv_pos = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, logits.shape, 1)
-        logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
+    # Per-slot early exit: page blocks beyond THIS sequence's own length
+    # are skipped entirely — nb is the batch's bucketed max, so without
+    # this every slot pays the longest slot's window in compute; the DMA
+    # side is handled by the clamped index map in paged_decode_attention
+    # (out-of-range steps re-map the slot's last page, and Pallas skips
+    # the copy when the mapped block repeats).
+    @pl.when(i * page_size <= pos_ref[b])
+    def _attend():
+        # FP8 pools: convert the WHOLE block once before the head loop —
+        # slicing packed-f8 sub-axes per head costs a Mosaic relayout each
+        # (measured 49x on the kernel; one up-front convert is ~5 us)
+        kb, vb = k_ref[0], v_ref[0]
+        if kb.dtype != jnp.bfloat16:
+            kb = kb.astype(jnp.bfloat16)
+            vb = vb.astype(jnp.bfloat16)
+        for h in range(hkv):
+            rows = slice(h * gp, (h + 1) * gp)
+            q = q_ref[0, h].astype(jnp.float32)           # (Gp, d)
+            k = kb[:, h, :].astype(jnp.float32)           # (ps, d)
+            v = vb[:, h, :].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # (Gp, ps)
+            kv_pos = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1)
+            logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
 
-        m_prev = m_ref[rows]                              # (Gp, 1) f32
-        m_new = jnp.maximum(m_prev,
-                            jnp.max(logits, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                       # (Gp, ps)
-        l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=-1,
-                                                    keepdims=True)
-        m_ref[rows] = m_new
-        acc_ref[rows] = acc_ref[rows] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+            m_prev = m_ref[rows]                          # (Gp, 1) f32
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(logits, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)                   # (Gp, ps)
+            l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            m_ref[rows] = m_new
+            acc_ref[rows] = acc_ref[rows] * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32)
 
     @pl.when(i == nb - 1)
     def _epilogue():
@@ -130,10 +138,18 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
             in_specs=[
                 pl.BlockSpec((1, Hkv, Gp, d),
                              lambda b, i, bt, pos: (b, 0, 0, 0)),
+                # page index clamped to the slot's own last page: steps
+                # beyond its length re-map the same block, and Pallas
+                # skips the HBM copy when the mapped block repeats —
+                # ragged batches pay per-sequence traffic, not batch-max
                 pl.BlockSpec((1, ps, Hkv, d),
-                             lambda b, i, bt, pos: (bt[b, i], 0, 0, 0)),
+                             lambda b, i, bt, pos: (
+                                 bt[b, jnp.minimum(i, pos[b] // ps)],
+                                 0, 0, 0)),
                 pl.BlockSpec((1, ps, Hkv, d),
-                             lambda b, i, bt, pos: (bt[b, i], 0, 0, 0)),
+                             lambda b, i, bt, pos: (
+                                 bt[b, jnp.minimum(i, pos[b] // ps)],
+                                 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Hkv, Gp, d),
                                    lambda b, i, bt, pos: (b, 0, 0, 0)),
@@ -290,10 +306,19 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
             in_specs=[
                 pl.BlockSpec((1, Hkv, G, tq, d),
                              lambda b, ti, si, p0: (b, 0, 0, ti, 0)),
+                # clamp the KV block to the causal limit of this q block:
+                # above-diagonal steps re-map the same block and Pallas
+                # skips the copy (the kernel already compute-skips them)
                 pl.BlockSpec((1, block_s, Hkv, d),
-                             lambda b, ti, si, p0: (b, si, 0, 0)),
+                             lambda b, ti, si, p0: (
+                                 b, jnp.minimum(
+                                     si, (p0[b] + (ti + 1) * tq - 1)
+                                     // block_s), 0, 0)),
                 pl.BlockSpec((1, block_s, Hkv, d),
-                             lambda b, ti, si, p0: (b, si, 0, 0)),
+                             lambda b, ti, si, p0: (
+                                 b, jnp.minimum(
+                                     si, (p0[b] + (ti + 1) * tq - 1)
+                                     // block_s), 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Hkv, G, tq, d),
                                    lambda b, ti, si, p0: (b, 0, 0, ti, 0)),

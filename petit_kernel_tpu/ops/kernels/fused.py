@@ -362,7 +362,8 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
         kernel = functools.partial(
             _fused_kernel_wc, nk=nk,
             high_precision=sid.high_precision,
-            int_scale=(sid.element_b == ElementB.MXFP4
+            int_scale=((sid.element_b == ElementB.MXFP4
+                        or sid.pow2_scale)
                        and not sid.high_precision))
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
@@ -382,7 +383,8 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
             high_precision=sid.high_precision,
             # MXFP4 power-of-two scales apply as an integer exponent add
             # (_int_scale_quarter); high-precision keeps the f32 mul path
-            int_scale=(sid.element_b == ElementB.MXFP4
+            int_scale=((sid.element_b == ElementB.MXFP4
+                        or sid.pow2_scale)
                        and not sid.high_precision))
         semantics = ("parallel", "parallel", "arbitrary")
 
@@ -419,6 +421,151 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
     )(a, a, a, a, words, scales_t, scales_t, scales_t, scales_t, gs)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# W4A8 kernel: FP4 weights requantized in-kernel to int8, int8 activations,
+# MXU int8 dots with an int32 accumulator. TPU analog of the reference's
+# third mfma type (kMatmulMfmaTypeFp8, gemm.h:63-67; CDNA3 bf8 fast path,
+# dequant.cuh:326-363). Opt-in (MatmulType.INT8): per-column weight
+# requantization is a different numerics contract than exact group-wise FP4
+# dequant — quality-gate before adopting (tools/quality_gate.py).
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel_w4a8(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
+                       arow_ref, gs_ref, out_ref, acc_ref, *, nk: int):
+    """Per k-step: v6 decode -> multiply by the requant slab r (bf16,
+    = scale * 127 / colmax) -> round to int8 -> int8 MXU dot.
+
+    acc is int32; the epilogue applies out = acc * arow ⊗ acol * gs, where
+    arow = per-token activation scale (max|a|/127) and acol = per-column
+    weight scale (colmax/127)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a_refs = (a0, a1, a2, a3)
+    r_refs = (r0, r1, r2, r3)
+    for j in range(4):
+        deq = decode_quarter(w_ref[:], j)
+        rq = r_refs[j][:]
+        a = a_refs[j][:]
+        for ch in range(deq.shape[0] // 128):
+            b = (deq[ch * 128:(ch + 1) * 128]
+                 * _chunk_scale_slab(rq, ch)).astype(jnp.float32)
+            # |b| <= 127 by construction of r; stored zeros decode to a
+            # subnormal the multiply flushes (or rounds) to 0
+            b_i8 = jax.lax.round(
+                b, jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int8)
+            a_ch = a[:, ch * 128:(ch + 1) * 128]
+            acc_ref[:] += jax.lax.dot_general(
+                a_ch, b_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+    @pl.when(kk == nk - 1)
+    def _epilogue():
+        out_ref[:] = (acc_ref[:].astype(jnp.float32)
+                      * arow_ref[:] * acol_ref[:]
+                      * gs_ref[0, 0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sid", "interpret", "out_dtype"))
+def fused_mul_w4a8(a: jax.Array, words: jax.Array, scales_t: jax.Array,
+                   global_scale: jax.Array, *, sid: SolutionId,
+                   out_dtype=jnp.bfloat16,
+                   interpret: bool = False) -> jax.Array:
+    """W4A8 path of fused_mul: same (words, scales_t) operands, int8 MXU.
+
+    Host-side pre-passes (XLA, fused into the caller's graph):
+      - per-token activation quantization: arow = max|a|/127, a_i8
+      - per-column requant constants from the processed scales:
+        colmax = 6 * max(scales_t) per column, r = scales_t * 127/colmax
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    m, k = a.shape
+    kw, n = words.shape
+    group = sid.group_size
+    kp = kw * 8
+    assert kp >= k and kp - k < (512 if group == 16 else 1024), (kp, k)
+    assert scales_t.shape == (kp // 16, n)
+    bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
+    assert kp % bk == 0 and bk % 512 == 0
+
+    # --- weight-side requant constants (pure XLA, cached under jit)
+    s32 = scales_t.astype(jnp.float32)
+    colmax = 6.0 * jnp.max(s32, axis=0, keepdims=True)        # (1, n)
+    colmax = jnp.where(colmax == 0, 1.0, colmax)
+    r_t = (s32 * (127.0 / colmax)).astype(jnp.bfloat16)       # (kp/16, n)
+    acol = colmax / 127.0                                     # (1, n)
+
+    # --- activation-side per-token int8 quantization
+    af = a.astype(jnp.float32)
+    arow = jnp.max(jnp.abs(af), axis=1, keepdims=True) / 127.0  # (m, 1)
+    arow = jnp.where(arow == 0, 1.0, arow)
+    a_i8 = jax.lax.round(af / arow,
+                         jax.lax.RoundingMethod.TO_NEAREST_EVEN
+                         ).astype(jnp.int8)
+
+    m_pad = -(-m // bm) * bm
+    n_pad = -(-n // bn) * bn
+    if m_pad != m or kp != k:
+        a_i8 = jnp.pad(a_i8, ((0, m_pad - m), (0, kp - k)))
+        arow = jnp.pad(arow, ((0, m_pad - m), (0, 0)),
+                       constant_values=1.0)
+    a_i8 = a_i8.reshape(m_pad, kp // 128, 8, 16).swapaxes(2, 3).reshape(
+        m_pad, kp)
+    if n_pad != n:
+        words = jnp.pad(words, ((0, 0), (0, n_pad - n)))
+        r_t = jnp.pad(r_t, ((0, 0), (0, n_pad - n)))
+        acol = jnp.pad(acol, ((0, 0), (0, n_pad - n)))
+
+    nm, nn, nk = m_pad // bm, n_pad // bn, kp // bk
+    kb4 = bk // 4
+    srows = kb4 // 16
+
+    def a_map(j):
+        return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+
+    def s_map(j):
+        return lambda i, nn_, kk_, j=j: (j * nk + kk_, nn_)
+
+    a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
+               for j in range(4)]
+    w_spec = pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
+                          memory_space=pltpu.VMEM)
+    r_specs = [pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
+               for j in range(4)]
+    acol_spec = pl.BlockSpec((1, bn), lambda i, nn_, kk_: (0, nn_),
+                             memory_space=pltpu.VMEM)
+    arow_spec = pl.BlockSpec((bm, 1), lambda i, nn_, kk_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    gs_spec = pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
+                           memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
+                            memory_space=pltpu.VMEM)
+
+    gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    flops = 2 * m_pad * n_pad * kp
+    bytes_accessed = (words.size * 4 + r_t.size * 2 + a_i8.size
+                      + m_pad * n_pad * 2)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel_w4a8, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[*a_specs, w_spec, *r_specs, acol_spec, arow_spec,
+                  gs_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(a_i8, a_i8, a_i8, a_i8, words, r_t, r_t, r_t, r_t, acol, arow, gs)
     return out[:m, :n]
 
 

@@ -277,6 +277,15 @@ def process_fp4_scales(scales, size_n: int, size_k: int, *,
     else:
         if np.any(s == 0xFF):
             raise ValueError("MXFP4 E8M0 scales must not be NaN (0xFF)")
+        if np.any(s > 252):
+            # kernel precondition (ops/kernels/fused.py int-scale path):
+            # the in-kernel exponent add needs scale * max|fp4| = 2^(s-127)*6
+            # to stay finite in bf16, i.e. byte <= 252 (2^125). Bytes
+            # 253/254 would carry into the sign bit and silently flip signs.
+            raise ValueError(
+                "MXFP4 E8M0 scale bytes 253/254 (2^126, 2^127) exceed the "
+                "kernel's exponent-add range; rescale the checkpoint "
+                "(ModelOpt/Quark never emit these)")
         # 2^(u8-127); byte 0 (2^-127) is below bf16 normal range — emit an
         # exact 0.0 rather than a subnormal the VPU would flush anyway, so
         # the contract is deterministic (same semantics as the previous

@@ -27,9 +27,17 @@ class ElementB(enum.IntEnum):
 
 
 class MatmulType(enum.IntEnum):
-    """Activation/output dtype class (reference MatmulMfmaType, gemm.h:63-67)."""
+    """Activation/output dtype class (reference MatmulMfmaType, gemm.h:63-67).
+
+    INT8 is the TPU analog of the reference's third mfma type
+    (kMatmulMfmaTypeFp8 + the CDNA3 bf8 fast dequant,
+    dequant.cuh:326-363): W4A8 — activations quantized per token to int8,
+    FP4 weights requantized in-kernel to int8 with per-column scales, MXU
+    int8 dots (measured 347 TOP/s = 1.94x bf16 on v5e). Opt-in numerics
+    trade for the compute-bound large-m regime."""
     FP16 = 0
     BF16 = 1
+    INT8 = 2
 
 
 # Block-size quanta. block_m in sublane multiples of 16 (bf16 tile),
@@ -57,15 +65,26 @@ class SolutionId:
     # kMatmulFeatures_Grid feature bit (gemm.h:43-49) in spirit: a kernel
     # structure variant selected through the same SolutionId mechanism.
     weight_cache: bool = False
+    # NVFP4 tensors quantized with power-of-two E4M3 scales ("nvfp4p2",
+    # numerics/reference.quantize_nvfp4_pow2): the kernel applies scales via
+    # the integer exponent add (the MXFP4 fast path) instead of the bf16
+    # slab multiply — the one VPU cost separating NVFP4 from MXFP4 decode
+    # throughput. Only valid for element_b == NVFP4; requires the tensor's
+    # processed scales to be exact bf16 powers of two (caller contract —
+    # quantize_nvfp4_pow2 guarantees it, arbitrary E4M3 scales do NOT).
+    pow2_scale: bool = False
 
     def __post_init__(self):
         assert self.block_m % BLOCK_M_UNIT == 0 and self.block_m > 0
         assert self.block_n % BLOCK_N_UNIT == 0 and self.block_n > 0
         assert self.block_k % BLOCK_K_UNIT == 0 and self.block_k > 0
+        assert not (self.pow2_scale and self.element_b != ElementB.NVFP4), \
+            "pow2_scale is an NVFP4-only fast path (MXFP4 is always pow2)"
 
-    # 64-bit layout: [wc:1][m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
+    # 64-bit layout: [p2:1][wc:1][m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
     def repr(self) -> int:
-        return (int(self.weight_cache) << 34 |
+        return (int(self.pow2_scale) << 35 |
+                int(self.weight_cache) << 34 |
                 (self.block_m // BLOCK_M_UNIT) << 26 |
                 (self.block_n // BLOCK_N_UNIT) << 16 |
                 (self.block_k // BLOCK_K_UNIT) << 6 |
@@ -83,6 +102,7 @@ class SolutionId:
             mfma_type=MatmulType((r >> 1) & 0x3),
             high_precision=bool(r & 1),
             weight_cache=bool((r >> 34) & 1),
+            pow2_scale=bool((r >> 35) & 1),
         )
 
     @property

@@ -175,7 +175,8 @@ def _params_spec(qparams):
 _CACHE_SPEC = (P("dp", None, "tp", None), P("dp", None, "tp", None))
 
 
-def _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt):
+def _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt,
+                   write_mask=None):
     """Device-local Megatron block: heads column-sharded, wo/down
     row-sharded, one psum per block. Reuses llama.attention/mlp with a
     per-shard head count, so the cached-decode path (continuous batching)
@@ -193,7 +194,8 @@ def _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt):
     for i, lp in enumerate(qparams["layers"]):
         h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, c = llama.attention(h, lp, None if cache is None else cache[i],
-                               pos, cfg_l, mask, fmt=fmt, interpret=False)
+                               pos, cfg_l, mask, fmt=fmt, interpret=False,
+                               write_mask=write_mask)
         new_cache.append(c)
         x = x + jax.lax.psum(a, "tp")                 # row-parallel wo
         h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -236,6 +238,101 @@ def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
                   for t, s in zip(layer, _CACHE_SPEC)) for layer in cache]
 
 
+def mul_fp4_tp_rs(a: jax.Array, layer: dict, mesh: Mesh, size_k: int,
+                  fmt: str = "nvfp4"):
+    """k-sharded fused FP4 GEMM with a REDUCE-SCATTER epilogue (SURVEY
+    §2.3): words/scales sharded on packed-k (quantize_linear_tp shard="k",
+    per-shard repack), activations sharded on k, each device runs its local
+    fused GEMM and the partial sums are psum_scatter'd over n — every
+    device ends with an (m, n/tp) shard instead of psum-then-keep-full.
+
+    Halves the epilogue's per-device receive volume vs psum and leaves the
+    output column-sharded — exactly the layout the next column-parallel
+    consumer wants, so XLA can overlap the scatter with that consumer's
+    dequant+matmul. Pinned against the psum path in tests/test_parallel.py.
+    """
+    tp = mesh.shape["tp"]
+    n = layer["words"].shape[1]
+    assert n % tp == 0 and size_k % tp == 0
+    mul = {"nvfp4": gemm_mod.mul_nvfp4_a16, "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+           "mxfp4": gemm_mod.mul_mxfp4_a16}[fmt]
+
+    def local(a_l, words_l, scales_l, gs):
+        m = a_l.shape[0]
+        y = mul(a_l, words_l, scales_l, gs, m, n, size_k // tp, -1)
+        return jax.lax.psum_scatter(y, "tp", scatter_dimension=1,
+                                    tiled=True)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp", None), P("tp", None), P()),
+        out_specs=P(None, "tp"), check_rep=False)
+    return fn(a, layer["words"], layer["scales"], layer["gs"])
+
+
+def make_tp_forward_sp(cfg: llama.LlamaConfig, mesh: Mesh,
+                       fmt: str = "nvfp4"):
+    """Megatron-SP-style TP forward: the residual stream is SHARDED over
+    tokens; each row-parallel projection ends in a reduce-scatter over the
+    token axis instead of a psum, and each column-parallel block starts
+    with the matching all-gather. Same total ICI volume as psum, but split
+    into halves that XLA can overlap with the adjacent dequant+matmul, and
+    the norm/residual elementwise work runs on 1/tp of the tokens
+    (SURVEY.md §2.3 "reduce-scatter epilogue for k-sharding"; prefill /
+    training structure — the cached decode step keeps make_tp_step).
+
+    Returns jitted (qparams, tokens (B, T)) -> logits; requires T % tp == 0.
+    """
+    tp = mesh.shape["tp"]
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
+    import dataclasses as _dc
+    cfg_l = _dc.replace(cfg, num_heads=cfg.num_heads // tp,
+                        num_kv_heads=cfg.num_kv_heads // tp)
+
+    def local(qparams, tokens):
+        # tokens arrive sequence-sharded: (B, T/tp) per device
+        B, Ts = tokens.shape
+        x = qparams["embed"][tokens]                    # (B, T/tp, H) shard
+        mask_full = None
+        for lp in qparams["layers"]:
+            h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)   # sharded
+            hf = jax.lax.all_gather(h, "tp", axis=1, tiled=True)  # (B,T,H)
+            T = hf.shape[1]
+            if mask_full is None:
+                mask_full = jnp.tril(jnp.ones((T, T), bool))[None, None]
+                pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+            a, _ = llama.attention(hf, lp, None, pos, cfg_l, mask_full,
+                                   fmt=fmt, interpret=False)
+            # row-parallel wo: local partial sums reduce-scatter over tokens
+            x = x + jax.lax.psum_scatter(a, "tp", scatter_dimension=1,
+                                         tiled=True)
+            h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
+            hf = jax.lax.all_gather(h, "tp", axis=1, tiled=True)
+            dn = llama.mlp(hf, lp, fmt=fmt, interpret=False)
+            x = x + jax.lax.psum_scatter(dn, "tp", scatter_dimension=1,
+                                         tiled=True)
+        x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
+        # token and vocab shards ride the SAME tp axis: gather tokens
+        # first (full (B, T, H) per device), then the vocab-sharded
+        # lm_head + vocab gather — a single gather can't undo both
+        xf = jax.lax.all_gather(x, "tp", axis=1, tiled=True)
+        logits_local = jnp.dot(xf, qparams["lm_head"]["w"],
+                               preferred_element_type=jnp.float32)
+        logits = jax.lax.all_gather(logits_local, "tp", axis=2, tiled=True)
+        return logits.astype(jnp.bfloat16)
+
+    def fwd(qparams, tokens):
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(_params_spec(qparams), P("dp", "tp")),
+            out_specs=P("dp", None, None),
+            check_rep=False,
+        )
+        return fn(qparams, tokens)
+
+    return jax.jit(fwd)
+
+
 def make_tp_step(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
     """Jitted cached TP forward for serving: (qparams, tokens (B, T),
     cache, pos (B, T)) -> (logits, new_cache). Drop-in forward_fn for
@@ -243,18 +340,21 @@ def make_tp_step(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
     tp = mesh.shape["tp"]
     assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
 
-    def local(qparams, tokens, cache, pos):
-        return _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt)
+    def local(qparams, tokens, cache, pos, write_mask):
+        return _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt,
+                              write_mask=write_mask)
 
-    def step(qparams, tokens, cache, pos):
+    def step(qparams, tokens, cache, pos, write_mask=None):
+        if write_mask is None:
+            write_mask = jnp.ones(tokens.shape[0], bool)
         cache_specs = [_CACHE_SPEC for _ in cache]
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(_params_spec(qparams), P("dp", None), cache_specs,
-                      P("dp", None)),
+                      P("dp", None), P("dp")),
             out_specs=(P("dp", None, None), cache_specs),
             check_rep=False,
         )
-        return fn(qparams, tokens, cache, pos)
+        return fn(qparams, tokens, cache, pos, write_mask)
 
     return step

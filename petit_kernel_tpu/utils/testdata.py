@@ -29,7 +29,7 @@ class GemmTestData:
 def make_gemm_data(m: int, n: int, k: int, fmt: str = "nvfp4",
                    seed: int = 42) -> GemmTestData:
     rng = np.random.default_rng(seed)
-    group = 16 if fmt == "nvfp4" else 32
+    group = 16 if fmt in ("nvfp4", "nvfp4p2") else 32
     a = rng.standard_normal((m, k)).astype(np.float32)
     nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
     nib[nib == 8] = 0  # no negative zero (reference invariant)
@@ -40,6 +40,10 @@ def make_gemm_data(m: int, n: int, k: int, fmt: str = "nvfp4",
         scales = ((rng.integers(4, 11, size=(n, k // group), dtype=np.uint8)
                    << 3)
                   | rng.integers(0, 8, size=(n, k // group), dtype=np.uint8))
+    elif fmt == "nvfp4p2":
+        # pow2 E4M3 scale bytes only (mantissa 0): the nvfp4p2 contract
+        scales = (rng.integers(4, 11, size=(n, k // group), dtype=np.uint8)
+                  << 3)
     else:
         scales = rng.integers(110, 145, size=(n, k // group), dtype=np.uint8)
     gs = np.float32(rng.uniform(0.5, 2.0))

@@ -42,6 +42,115 @@ def test_mul_fp4_diff_grads_match_dense():
     assert np.allclose(float(dgs), float(dgs_r), rtol=0.05)
 
 
+def test_nvfp4p2_quantizer_emits_pow2_scales():
+    """quantize_nvfp4_pow2: every stored E4M3 byte decodes to an exact
+    power of two, values stay in [-6, 6], and end-to-end dequantization
+    error is bounded (pow2 scales re-round values in E2M1: worst-case one
+    E2M1 step at double the ideal scale = 2/3 relative, typical far less)."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 256)).astype(np.float32)
+    w[3, :16] = 0.0          # all-zero group
+    w[5, 40] = 100.0         # outlier group
+    qw, scales, gs = refn.quantize_nvfp4_pow2(w)
+    dec = np.asarray(
+        [float(refn.formats.e4m3_decode(np.uint8(b))) for b in
+         scales.reshape(-1)])
+    assert (dec > 0).all()
+    exp = np.log2(dec)
+    np.testing.assert_array_equal(exp, np.round(exp))  # pure powers of two
+    deq = refn.dequant_nvfp4(qw, scales) * gs
+    err = np.abs(deq - w).reshape(64, -1, 16)
+    # per-group bound: 1/2 E2M1 ulp at the chosen scale; scale <= 2*ideal
+    gmax = np.abs(w.reshape(64, -1, 16)).max(-1, keepdims=True)
+    assert (err <= np.maximum(gmax / 3.0, 1e-6)).all()
+    # aggregate accuracy sanity: relative RMS error under 10%
+    rms = np.sqrt(np.mean((deq - w) ** 2)) / np.sqrt(np.mean(w ** 2))
+    assert rms < 0.10, rms
+
+
+def test_mul_nvfp4p2_matches_nvfp4_and_oracle():
+    """The pow2 int-scale path (mul_nvfp4p2_a16) agrees with both the host
+    oracle and the exact-NVFP4 multiply path on pow2-scale data — the two
+    kernels compute the same exact products when scales are powers of two."""
+    for (m, n, k) in [(16, 256, 512), (5, 128, 1024), (33, 208, 640)]:
+        d = make_gemm_data(m, n, k, "nvfp4p2", seed=m)
+        a = jnp.asarray(d.a, jnp.bfloat16)
+        args = (a, jnp.asarray(d.words), jnp.asarray(d.scales_t),
+                jnp.float32(d.global_scale), m, n, k, -1)
+        c_p2 = pk.mul_nvfp4p2_a16(*args, interpret=True)
+        c_nv = pk.mul_nvfp4_a16(*args, interpret=True)
+        ref = refn.gemm_reference(np.asarray(a, np.float32), d.qweights,
+                                  d.scales, d.global_scale, fmt="nvfp4")
+        np.testing.assert_allclose(np.asarray(c_p2, np.float32), ref,
+                                   rtol=0.01, atol=0.01)
+        np.testing.assert_allclose(np.asarray(c_p2, np.float32),
+                                   np.asarray(c_nv, np.float32),
+                                   rtol=0.005, atol=0.005)
+
+
+def test_nvfp4p2_solution_id_roundtrip_and_validation():
+    sid = S.SolutionId(16, 128, 512, S.ElementB.NVFP4, pow2_scale=True)
+    assert S.SolutionId.from_repr(sid.repr()) == sid
+    assert sid.repr() != S.SolutionId(16, 128, 512, S.ElementB.NVFP4).repr()
+    with pytest.raises(AssertionError):
+        S.SolutionId(16, 128, 512, S.ElementB.MXFP4, pow2_scale=True)
+    # explicit pow2 solution id accepted through the public mul
+    d = make_gemm_data(8, 128, 512, "nvfp4p2", seed=1)
+    c = pk.mul_nvfp4p2_a16(jnp.asarray(d.a, jnp.bfloat16),
+                           jnp.asarray(d.words), jnp.asarray(d.scales_t),
+                           jnp.float32(d.global_scale), 8, 128, 512,
+                           sid.repr(), interpret=True)
+    assert c.shape == (8, 128)
+
+
+def test_nvfp4p2_end_to_end_model_quality():
+    """fmt="nvfp4p2" through a tiny llama: logits stay close to the dense
+    model (sanity that the mode is wired end-to-end, not a perf-only stub)."""
+    from petit_kernel_tpu.models import llama
+    cfg = llama.LlamaConfig.tiny(hidden_size=256, intermediate_size=512)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qp = llama.quantize_params(params, "nvfp4p2")
+    toks = jnp.arange(8)[None, :] % cfg.vocab_size
+    dense, _ = llama.forward(params, toks, cfg, interpret=True)
+    quant, _ = llama.forward(qp, toks, cfg, fmt="nvfp4p2", interpret=True)
+    # same sanity band the nvfp4 model tests use: top-1 agreement mostly
+    agree = (jnp.argmax(dense[0], -1) == jnp.argmax(quant[0], -1)).mean()
+    assert float(agree) >= 0.5, float(agree)
+
+
+@pytest.mark.parametrize("fmt", ["nvfp4", "mxfp4"])
+def test_mul_w4a8_close_to_a16(fmt):
+    """W4A8 (int8 MXU, per-token activation quant + per-column weight
+    requant) tracks the exact a16 path within int8 quantization noise —
+    the third MatmulType (reference kMatmulMfmaTypeFp8 analog)."""
+    for (m, n, k) in [(256, 256, 512), (64, 128, 1024)]:
+        d = make_gemm_data(m, n, k, fmt, seed=m + len(fmt))
+        a = jnp.asarray(d.a, jnp.bfloat16)
+        args = (a, jnp.asarray(d.words), jnp.asarray(d.scales_t),
+                jnp.float32(d.global_scale), m, n, k, -1)
+        mul8 = pk.mul_nvfp4_a8 if fmt == "nvfp4" else pk.mul_mxfp4_a8
+        mul16 = pk.mul_nvfp4_a16 if fmt == "nvfp4" else pk.mul_mxfp4_a16
+        c8 = np.asarray(mul8(*args, interpret=True), np.float32)
+        c16 = np.asarray(mul16(*args, interpret=True), np.float32)
+        assert c8.shape == (m, n)
+        rel = (np.linalg.norm(c8 - c16) / np.linalg.norm(c16))
+        assert rel < 0.03, (fmt, m, n, k, rel)
+
+
+def test_mul_w4a8_explicit_solution_validation():
+    d = make_gemm_data(64, 128, 512, "nvfp4", seed=2)
+    a = jnp.asarray(d.a, jnp.bfloat16)
+    base = (a, jnp.asarray(d.words), jnp.asarray(d.scales_t),
+            jnp.float32(d.global_scale), 64, 128, 512)
+    sid = S.SolutionId(64, 128, 512, S.ElementB.NVFP4, S.MatmulType.INT8)
+    c = pk.mul_nvfp4_a8(*base, sid.repr(), interpret=True)
+    assert c.shape == (64, 128)
+    # non-INT8 explicit solution rejected
+    bad = S.SolutionId(64, 128, 512, S.ElementB.NVFP4, S.MatmulType.BF16)
+    with pytest.raises(ValueError, match="INT8"):
+        pk.mul_nvfp4_a8(*base, bad.repr(), interpret=True)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_mul_fuzz_shapes_vs_oracle(seed):
     """Randomized shapes (ragged m, n % 16, k % 128, both formats, random

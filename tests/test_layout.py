@@ -51,6 +51,20 @@ def test_repack_validation():
         layout.repack_fp4_weights(np.zeros((16, 60), np.uint8), 16, 128)
 
 
+def test_process_scales_rejects_overrange_e8m0():
+    """MXFP4 scale bytes 253/254 (2^126, 2^127) violate the int-scale
+    kernel's exponent-add range (sign-bit carry -> silent sign flips);
+    process_fp4_scales must reject them (round-2 advisor, medium)."""
+    n, k = 16, 128
+    for byte in (253, 254):
+        scales = np.full((n, k // 32), byte, np.uint8)
+        with pytest.raises(ValueError, match="exponent-add range"):
+            layout.process_fp4_scales(scales, n, k, group_size=32)
+    # 252 is the documented maximum and must pass
+    layout.process_fp4_scales(np.full((n, k // 32), 252, np.uint8), n, k,
+                              group_size=32)
+
+
 @pytest.mark.parametrize("fmt", ["nvfp4", "mxfp4"])
 def test_dequant_from_tpu_layout_matches_native(fmt):
     rng = np.random.default_rng(42)
@@ -64,7 +78,8 @@ def test_dequant_from_tpu_layout_matches_native(fmt):
                   & np.uint8(0x7E))  # positive, non-NaN
         native = reference.dequant_nvfp4(qw, scales)
     else:
-        scales = rng.integers(1, 254, size=(n, k // group), dtype=np.uint8)
+        # bytes 253/254 rejected by process_fp4_scales (kernel precondition)
+        scales = rng.integers(1, 253, size=(n, k // group), dtype=np.uint8)
         native = reference.dequant_mxfp4(qw, scales)
     words = layout.repack_fp4_weights(qw, n, k,
                                       pad_to=layout.pad_multiple(group))

@@ -62,6 +62,56 @@ def test_moe_capacity_drops_overflow():
     assert nonzero_rows <= 16
 
 
+def test_moe_routing_scales_to_many_experts():
+    """E=64 (DeepSeek-class) routing: the single-sort router must stay
+    correct at large E (the old per-expert argsort loop was O(E) device
+    sorts). Pinned against the dense oracle with generous capacity."""
+    rng = np.random.default_rng(3)
+    T, H, F, E = 32, 128, 128, 64
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.5, jnp.bfloat16)
+    ws = {n: rng.standard_normal((E, kk, nn)).astype(np.float32) / 16
+          for n, (kk, nn) in dict(w_gate=(H, F), w_up=(H, F),
+                                  w_down=(F, H)).items()}
+    qex = {n: moe.quantize_moe_linear(ws[n], "mxfp4") for n in ws}
+    from petit_kernel_tpu.ops import layout as L
+    dex = {}
+    for n in ws:
+        E_, kk, nn = ws[n].shape
+        deq = np.stack([
+            L.dequant_from_tpu_layout(
+                np.asarray(qex[n]["words"][e]),
+                np.asarray(qex[n]["scales"][e]), nn, kk, group_size=32)
+            * float(qex[n]["gs"][e]) for e in range(E_)])
+        dex[n] = {"w": jnp.asarray(deq, jnp.bfloat16)}
+    cfg = MoEConfig(num_experts=E, top_k=2, capacity_factor=32.0)
+    out_q = moe.moe_mlp(x, router, qex, cfg, fmt="mxfp4", interpret=True)
+    out_d = moe._dense_moe(x, router, dex, cfg)
+    np.testing.assert_allclose(np.asarray(out_q, np.float32),
+                               np.asarray(out_d, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_moe_routing_drop_counter():
+    """routing_drop_count reports exactly the assignments the capacity
+    buckets reject."""
+    rng = np.random.default_rng(4)
+    T, H, E = 32, 64, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    router = jnp.asarray(np.stack([np.ones(H), -np.ones(H)], 1),
+                         jnp.bfloat16)
+    cfg = MoEConfig(num_experts=E, top_k=1, capacity_factor=0.5)
+    # cap = max(8, ceil(T*topk/E*cf)) = 8; expected = sum(max(count-8, 0))
+    picks = np.asarray(jnp.argmax(
+        jnp.dot(x.astype(jnp.float32), router.astype(jnp.float32)), -1))
+    want = sum(max(int((picks == e).sum()) - 8, 0) for e in range(E))
+    assert want > 0  # the scenario really overflows
+    assert int(moe.routing_drop_count(x, router, cfg)) == want
+    # generous capacity: nothing drops
+    cfg2 = MoEConfig(num_experts=E, top_k=1, capacity_factor=8.0)
+    assert int(moe.routing_drop_count(x, router, cfg2)) == 0
+
+
 def test_tiny_mixtral_forward():
     cfg = MixtralConfig.tiny()
     params = moe.init_params(cfg, jax.random.PRNGKey(0))

@@ -100,6 +100,61 @@ def test_tp_forward_matches_single_device():
     assert agree >= 0.95, agree
 
 
+def test_mul_fp4_tp_rs_matches_psum_path():
+    """k-sharded fused GEMM with the reduce-scatter epilogue (SURVEY §2.3)
+    == the psum epilogue, up to reduction ordering."""
+    from petit_kernel_tpu.parallel import tp as tp_mod
+    from petit_kernel_tpu.parallel._compat import shard_map
+
+    rng = np.random.default_rng(5)
+    m, k, n, tp = 8, 512, 256, 4
+    w = rng.standard_normal((k, n)).astype(np.float32) / 8
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    mesh = _mesh(1, tp)
+    layer = par.quantize_linear_tp(w, tp, "k", "nvfp4")
+    ks = k // tp
+
+    y_rs = tp_mod.mul_fp4_tp_rs(a, layer, mesh, k, fmt="nvfp4")
+    assert y_rs.shape == (m, n)
+
+    def local_psum(a_l, words_l, scales_l, gs):
+        y = gemm_mod.mul_nvfp4_a16(a_l, words_l, scales_l, gs, m, n, ks, -1)
+        return jax.lax.psum(y, "tp")
+
+    y_psum = shard_map(
+        local_psum, mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp", None), P("tp", None), P()),
+        out_specs=P(None, None), check_rep=False)(
+            a, layer["words"], layer["scales"], layer["gs"])
+    np.testing.assert_allclose(np.asarray(y_rs, np.float32),
+                               np.asarray(y_psum, np.float32),
+                               rtol=0.02, atol=0.02)
+
+
+def test_tp_forward_sp_matches_psum_forward():
+    """The Megatron-SP forward (token-sharded residual stream,
+    reduce-scatter epilogues + all-gather prologues) must agree with the
+    plain psum TP forward — same math, different collective structure."""
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=16, num_kv_heads=4, head_dim=32,
+        max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = _mesh(2, 4)
+    qparams = par.quantize_params_tp(params, cfg, mesh, fmt="nvfp4")
+    fwd = par.make_tp_forward(cfg, mesh, fmt="nvfp4")
+    from petit_kernel_tpu.parallel import tp as tp_mod
+    fwd_sp = tp_mod.make_tp_forward_sp(cfg, mesh, fmt="nvfp4")
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0,
+                                cfg.vocab_size)
+    want = np.asarray(fwd(qparams, tokens), np.float32)
+    got = np.asarray(fwd_sp(qparams, tokens), np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.95, agree
+
+
 def test_dense_param_sharding_train_step():
     """GSPMD path: dense model trains one step under TP+DP shardings."""
     cfg = llama.LlamaConfig(
@@ -189,3 +244,41 @@ def test_pipeline_parallel_matches_single_device(fmt):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pp_decode_matches_single_device():
+    """Pipelined DECODE (make_pp_step, stage-local KV caches): greedy
+    generation token-for-token equal to single-device greedy_decode —
+    PP can now serve, not just run prefill-style forwards (round-2
+    verdict item 4/8)."""
+    from jax.sharding import Mesh
+    from petit_kernel_tpu.parallel import pp as pp_mod
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+        max_seq_len=32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    B, T0, n_new = 4, 6, 5
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (B, T0), 0,
+                                cfg.vocab_size)
+    want = np.asarray(llama.greedy_decode(params, cfg, prompt, n_new,
+                                          fmt="bf16", interpret=True))
+
+    devices = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devices, ("pp",))
+    params_pp = pp_mod.place_params_pp(params, mesh)
+    step = pp_mod.make_pp_step(cfg, mesh, n_micro=2, fmt="bf16",
+                               interpret=True)
+    cache = pp_mod.init_cache_pp(cfg, B, mesh)
+    # teacher-force the prompt through the decode step, then generate
+    for t in range(T0):
+        logits, cache = step(params_pp, cache, prompt[:, t],
+                             jnp.full((B,), t, jnp.int32))
+    toks = [jnp.argmax(logits, -1).astype(jnp.int32)]
+    for t in range(n_new - 1):
+        logits, cache = step(params_pp, cache, toks[-1],
+                             jnp.full((B,), T0 + t, jnp.int32))
+        toks.append(jnp.argmax(logits, -1).astype(jnp.int32))
+    got = np.stack([np.asarray(t) for t in toks], axis=1)
+    np.testing.assert_array_equal(got, want)

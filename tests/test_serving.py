@@ -302,6 +302,86 @@ def test_long_prompt_chunked_prefill(setup):
         serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS = old_chunk, old_buckets
 
 
+def test_decode_block_matches_single_step(setup):
+    """run(decode_block=K) (K decode steps per host round-trip inside one
+    jitted lax.scan) must emit exactly the same greedy tokens as K=1, for
+    both cache backends, including eos finishing mid-block."""
+    cfg, params = setup
+    reqs = lambda: [serving.Request(uid=i, tokens=p, max_new_tokens=9)
+                    for i, p in enumerate(_PROMPTS)]
+    for mk in (lambda: serving.Engine(params, cfg, max_batch=2),
+               lambda: serving.PagedEngine(params, cfg, max_batch=2,
+                                           page_size=8)):
+        want = mk().run(reqs())
+        got = mk().run(reqs(), decode_block=4)
+        assert got == want, type(mk()).__name__
+    # eos mid-block: surplus tokens are discarded, output identical
+    ref = serving.Engine(params, cfg, max_batch=2).run(
+        [serving.Request(uid=0, tokens=_PROMPTS[0], max_new_tokens=9)])
+    eos = ref[0][4]  # stops on the 5th token — mid-block at K=4
+    for k in (1, 4):
+        out = serving.Engine(params, cfg, max_batch=2).run(
+            [serving.Request(uid=0, tokens=_PROMPTS[0], max_new_tokens=9,
+                             eos_id=eos)], decode_block=k)
+        assert out[0] == ref[0][:5], k
+
+
+def test_concurrent_decode_does_not_corrupt_prefill(setup):
+    """Regression (round-2 advisor, high): while a long prompt is admitted
+    over several chunked-prefill ticks, OTHER slots keep decoding — and the
+    batched decode step used to write KV for ALL rows at each row's pos, so
+    the mid-prefill slot (pos=0) had position 0 of its already-written
+    prompt KV overwritten with garbage every tick. The long request must
+    produce exactly the tokens it produces when served alone."""
+    cfg, params = setup
+    old_chunk, old_buckets = serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS
+    serving.PREFILL_CHUNK = 16
+    serving.PREFILL_BUCKETS = (16,)
+    try:
+        rng = np.random.default_rng(2)
+        long_p = rng.integers(0, cfg.vocab_size, size=70).astype(np.int32)
+        short_p = np.array([5, 9, 42], np.int32)
+        # short request decodes (many tokens) while the long one prefills
+        reqs = lambda: [
+            serving.Request(uid=0, tokens=short_p, max_new_tokens=12),
+            serving.Request(uid=1, tokens=long_p, max_new_tokens=4),
+        ]
+        for mk in (lambda: serving.Engine(params, cfg, max_batch=2),
+                   lambda: serving.PagedEngine(params, cfg, max_batch=2,
+                                               page_size=8)):
+            together = mk().run(reqs())
+            alone = mk().run([serving.Request(uid=1, tokens=long_p,
+                                              max_new_tokens=4)])
+            assert together[1] == alone[1], type(mk()).__name__
+    finally:
+        serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS = old_chunk, old_buckets
+
+
+def test_spec_concurrent_decode_does_not_corrupt_prefill(setup):
+    """Same regression for SpecEngine: the verify step writes KV at
+    pos..pos+gamma for every row; mid-prefill rows must be masked."""
+    cfg, params = setup
+    old_chunk, old_buckets = serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS
+    serving.PREFILL_CHUNK = 16
+    serving.PREFILL_BUCKETS = (16,)
+    try:
+        rng = np.random.default_rng(3)
+        long_p = rng.integers(0, cfg.vocab_size, size=40).astype(np.int32)
+        short_p = np.array([7, 2], np.int32)
+        reqs = lambda: [
+            serving.Request(uid=0, tokens=short_p, max_new_tokens=10),
+            serving.Request(uid=1, tokens=long_p, max_new_tokens=4),
+        ]
+        mk = lambda: serving.SpecEngine(params, cfg, params, gamma=3,
+                                        max_batch=2)
+        together = mk().run(reqs())
+        alone = mk().run([serving.Request(uid=1, tokens=long_p,
+                                          max_new_tokens=4)])
+        assert together[1] == alone[1]
+    finally:
+        serving.PREFILL_CHUNK, serving.PREFILL_BUCKETS = old_chunk, old_buckets
+
+
 def test_spec_engine_matches_plain_greedy(setup):
     """Speculative decoding is greedy-exact: SpecEngine's tokens equal the
     plain Engine's for BOTH a perfect draft (the target itself) and an

@@ -91,6 +91,46 @@ def build_model(cfg, rng, fmt="nvfp4"):
     return params
 
 
+def run_engine_bench(args, cfg, params, rng, wbytes):
+    """Engine-measured tokens/s: the real Engine.run() with multi-token
+    decode blocks (serving.step_block), including scheduling, sampling and
+    the per-block host sync — NOT the fori_loop model-step proxy. The gap
+    between the two numbers is the engine/host overhead (round-2 verdict
+    item 3). Over the axon relay one host round-trip is ~29 ms, so
+    tokens/s here depends on --decode-block; on a directly-attached host
+    the same code pays ~0.1 ms per block."""
+    from petit_kernel_tpu.models import serving
+
+    bs = args.bs
+    kv_dtype = (jnp.float8_e4m3fn if args.kv_dtype == "fp8"
+                else jnp.bfloat16)
+    eng = serving.Engine(params, cfg, max_batch=bs, fmt=args.format,
+                         cache_dtype=kv_dtype)
+
+    def reqs(n_new):
+        return [serving.Request(
+            uid=i,
+            tokens=rng.integers(0, cfg.vocab_size, 16).astype(np.int32),
+            max_new_tokens=n_new) for i in range(bs)]
+
+    # warm: compiles prefill bucket + decode block programs
+    eng.run(reqs(2 * args.decode_block), decode_block=args.decode_block)
+    eng.reset()
+    t0 = time.perf_counter()
+    out = eng.run(reqs(args.new_tokens), decode_block=args.decode_block)
+    dt = time.perf_counter() - t0
+    toks = sum(len(v) for v in out.values())
+    t_tok = dt / (toks / bs)
+    roofline_t = wbytes / (HBM_GBPS * 1e9)
+    print(f"# ENGINE mode: {args.layers}L hidden={cfg.hidden_size} "
+          f"fmt={args.format} bs={bs} decode_block={args.decode_block} "
+          f"new_tokens={args.new_tokens}")
+    print(f"# engine tokens/s/chip={toks / dt:.1f}  per-token-step="
+          f"{t_tok * 1e3:.2f} ms  weight-stream roofline="
+          f"{roofline_t * 1e3:.2f} ms ({roofline_t / t_tok:.1%} of "
+          f"roofline)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=8)
@@ -103,6 +143,14 @@ def main():
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"],
                    help="KV cache dtype (fp8 = float8_e4m3fn, upcast "
                         "inside the fused attention kernel)")
+    p.add_argument("--engine", action="store_true",
+                   help="measure the ACTUAL serving engine (Engine.run "
+                        "with multi-token decode blocks), not the "
+                        "fori_loop model-step proxy")
+    p.add_argument("--decode-block", type=int, default=32,
+                   help="decode steps per host round-trip in --engine mode")
+    p.add_argument("--new-tokens", type=int, default=128,
+                   help="tokens generated per request in --engine mode")
     args = p.parse_args()
 
     cfg = llama.LlamaConfig.llama3_8b(max_seq_len=args.seq,
@@ -122,6 +170,10 @@ def main():
                  for lp in params["layers"]
                  for k in ("wqkv", "wo", "w_gateup", "w_down"))
     wbytes += params["embed"].size * 2  # lm_head (tied) streams too
+
+    if args.engine:
+        run_engine_bench(args, cfg, params, rng, wbytes)
+        return
 
     @jax.jit
     def chain(n_steps, salt, params, cache, toks):
