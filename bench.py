@@ -65,6 +65,16 @@ SHAPES_TRACE_MNK = [
     (4314, 4096, 4096), (14437, 6144, 4096), (16375, 8192, 8192),
 ]
 
+# Llama-70B 8-way TP shard shapes (north-star config: 70B NVFP4 on a
+# v5p-16 slice): fused qkv/gate-up column shards and wo/w_down row shards.
+# These are the (n, k) every projection actually hits under 8-way TP.
+SHAPES_70B_TP8 = [
+    (1280, 8192),    # wqkv col-shard: (8192 + 2*1024)/8
+    (8192, 1024),    # wo row-shard: k = 8192/8
+    (7168, 8192),    # w_gate|w_up col-shard: 2*28672/8
+    (8192, 3584),    # w_down row-shard: k = 28672/8
+]
+
 
 def run(cases, tune, n1, n2, fmt="nvfp4"):
     """cases: iterable of (m, n, k); consecutive equal (n, k) reuse weights."""
@@ -76,8 +86,8 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
     if fmt == "hybrid":
         return run_hybrid(cases, n1, n2)
     autotune.load_table()  # persisted per-device-kind table, if present
-    group = 16 if fmt == "nvfp4" else 32
-    eb = ElementB.NVFP4 if fmt == "nvfp4" else ElementB.MXFP4
+    group = 32 if fmt == "mxfp4" else 16
+    eb = ElementB.MXFP4 if fmt == "mxfp4" else ElementB.NVFP4
 
     results = []
     prev_nk = None
@@ -87,11 +97,18 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
             rng = np.random.default_rng(n + k)
             # fabricate a quantized weight (parity: matmul_petit.cc:186-214)
             qw = rng.integers(0, 256, size=(n, k // 2), dtype=np.uint8)
-            if fmt == "nvfp4":
+            if fmt in ("nvfp4", "w4a8"):
                 scales = ((rng.integers(4, 11, size=(n, k // group),
                                         dtype=np.uint8) << 3)
                           | rng.integers(0, 8, size=(n, k // group),
                                          dtype=np.uint8))
+                b = pk.repack_nvfp4(qw, n, k)
+                s = pk.process_nvfp4_scales(scales, n, k)
+                deq = ref.dequant_nvfp4(qw, scales)
+            elif fmt == "nvfp4p2":
+                # pow2 E4M3 scale bytes only: the nvfp4p2 contract
+                scales = (rng.integers(4, 11, size=(n, k // group),
+                                       dtype=np.uint8) << 3)
                 b = pk.repack_nvfp4(qw, n, k)
                 s = pk.process_nvfp4_scales(scales, n, k)
                 deq = ref.dequant_nvfp4(qw, scales)
@@ -106,13 +123,14 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
                                   jnp.bfloat16)  # (k, n) dense operand
         a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
-        if tune:
+        if tune and fmt != "w4a8":
             sid_obj = autotune.tune_shape(m, n, k, eb)
             sid = sid_obj.repr()
         else:
             sid = -1
 
-        mul = pk.mul_nvfp4_a16 if fmt == "nvfp4" else pk.mul_mxfp4_a16
+        mul = {"nvfp4": pk.mul_nvfp4_a16, "nvfp4p2": pk.mul_nvfp4p2_a16,
+               "w4a8": pk.mul_nvfp4_a8, "mxfp4": pk.mul_mxfp4_a16}[fmt]
 
         def fp4_call(a2, b2, s2):
             return mul(a2, b2, s2, gs, m, n, k, sid)
@@ -182,7 +200,10 @@ def main():
     p.add_argument("--tune", action="store_true", help="autotune each shape")
     p.add_argument("--trace", action="store_true",
                    help="production-trace suite (ragged m) instead")
-    p.add_argument("--format", choices=("nvfp4", "mxfp4", "hybrid"),
+    p.add_argument("--shard70b", action="store_true",
+                   help="Llama-70B 8-way TP shard shapes instead")
+    p.add_argument("--format",
+                   choices=("nvfp4", "mxfp4", "nvfp4p2", "w4a8", "hybrid"),
                    default="nvfp4")
     p.add_argument("--n1", type=int, default=20)
     p.add_argument("--n2", type=int, default=None)
@@ -191,9 +212,15 @@ def main():
 
     if args.trace:
         cases = SHAPES_TRACE_MNK
+    elif args.shard70b:
+        cases = [(m, n, k) for (n, k) in SHAPES_70B_TP8
+                 for m in (16, 256, 512)]
     else:
         shapes = SHAPES_NK if args.full else SHAPES_NK_QUICK
         ms = (16, 256, 512) if args.full else (16,)
+        # w4a8 targets the compute-bound prefill regime
+        if args.format == "w4a8" and not args.full:
+            ms = (256, 512)
         cases = [(m, n, k) for (n, k) in shapes for m in ms]
     results = run(cases, args.tune, args.n1, args.n2, fmt=args.format)
 
@@ -206,11 +233,15 @@ def main():
                   f"{r['tflops']:7.2f} TFLOP/s "
                   f"{wgb / r['t_fp4']:6.1f} GB/s speedup={r['speedup']:.3f}")
 
-    decode = [r for r in results if r["m"] == 16] or results
+    decode = [r for r in results if r["m"] == 16]
+    label = "decode_m16"
+    if not decode:
+        decode = results
+        label = "prefill" if args.format == "w4a8" else "all"
     geo_tflops = math.exp(sum(math.log(r["tflops"]) for r in decode) / len(decode))
     geo_speedup = math.exp(sum(math.log(r["speedup"]) for r in decode) / len(decode))
     print(json.dumps({
-        "metric": f"{args.format}_gemm_decode_m16_geomean_tflops",
+        "metric": f"{args.format}_gemm_{label}_geomean_tflops",
         "value": round(geo_tflops, 3),
         "unit": "TFLOP/s",
         "vs_baseline": round(geo_speedup, 3),

@@ -94,7 +94,7 @@ def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
                     np.asarray(w_kn, np.float32), block_nf=bnf, block_nd=bnd)
         fmt = "nvfp4"  # too narrow to split: pure FP4
     w = np.asarray(w_kn, np.float32).T  # (n, k): checkpoint orientation
-    if fmt == "nvfp4":
+    if fmt in ("nvfp4", "w4a8"):  # w4a8: same container, int8-MXU compute
         qw, scales, gs = ref_numerics.quantize_nvfp4(w)
         group = 16
     elif fmt == "nvfp4p2":  # pow2-scale NVFP4: int-scale kernel fast path
@@ -131,10 +131,11 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
     else:
         n = layer["words"].shape[1]
         # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
-        pure_fmt = fmt if fmt in ("mxfp4", "nvfp4p2") else "nvfp4"
+        pure_fmt = fmt if fmt in ("mxfp4", "nvfp4p2", "w4a8") else "nvfp4"
         if interpret:
             mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
                    "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+                   "w4a8": gemm_mod.mul_nvfp4_a8,
                    "mxfp4": gemm_mod.mul_mxfp4_a16}[pure_fmt]
             y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n,
                     k, -1, interpret=True)

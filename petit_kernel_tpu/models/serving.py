@@ -445,15 +445,25 @@ class SpecEngine(Engine):
     requires target and draft to share the vocabulary.
     """
 
+    #: admissible draft depths when gamma_adaptive: each value compiles one
+    #: (B, g+1) verify program, so the set is small and fixed
+    GAMMA_BUCKETS = (3, 5, 7, 11)
+
     def __init__(self, params, cfg: llama.LlamaConfig, draft_params,
                  draft_cfg: Optional[llama.LlamaConfig] = None, *,
-                 gamma: int = 7, max_batch: int = 8, fmt: str = "nvfp4",
+                 gamma: int = 7, gamma_adaptive: bool = True,
+                 max_batch: int = 8, fmt: str = "nvfp4",
                  draft_fmt: str = "bf16", cache_dtype=jnp.bfloat16,
                  interpret: bool = False, seed: int = 0):
         super().__init__(params, cfg, max_batch=max_batch, fmt=fmt,
                          cache_dtype=cache_dtype, interpret=interpret,
                          seed=seed)
         self.gamma = gamma
+        self.gamma_adaptive = gamma_adaptive
+        self._gamma_max = max(gamma, 3)
+        # acceptance EMA (fraction of the g-1 cap used), drives the bucket
+        # walk: high acceptance -> deeper drafts, low -> shallower
+        self._acc_ema = 0.5
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg or cfg
         assert self.draft_cfg.vocab_size == cfg.vocab_size
@@ -505,6 +515,28 @@ class SpecEngine(Engine):
                               v.at[slot:slot + 1].set(v1))
         return super()._prefill_chunk(slot, toks, pos, kv_window)
 
+    def _pick_gamma(self) -> int:
+        """Draft depth for this tick: acceptance-adaptive bucket walk,
+        capped by the largest remaining token budget among active slots
+        (no point proposing tokens nobody can emit). Fixed-gamma mode
+        (gamma_adaptive=False) reproduces round-2 behavior exactly."""
+        remaining = max(
+            (self.slot_req[s].max_new_tokens
+             - len(self.generated[self.slot_req[s].uid])
+             for s in np.flatnonzero(self.active)), default=1)
+        cap = max(2, remaining + 1)  # n_acc <= g-1, +1 for the bonus token
+        if not self.gamma_adaptive:
+            return max(2, min(self.gamma, cap))
+        # EMA of fraction-of-cap acceptance: >0.7 -> deeper, <0.35 -> shallower
+        # (constructor gamma is the ceiling; buckets bound compile count)
+        bs = [b for b in self.GAMMA_BUCKETS if b <= self._gamma_max]
+        i = min(range(len(bs)), key=lambda j: abs(bs[j] - self.gamma))
+        if self._acc_ema > 0.7 and i + 1 < len(bs):
+            self.gamma = bs[i + 1]
+        elif self._acc_ema < 0.35 and i > 0:
+            self.gamma = bs[i - 1]
+        return max(2, min(self.gamma, cap))
+
     def step(self) -> int:
         if self._pf:
             self._advance_prefill()
@@ -512,7 +544,7 @@ class SpecEngine(Engine):
             return len(self._pf)
         assert not np.any(self.temps[self.active] > 0), \
             "SpecEngine is greedy-only"
-        g = self.gamma
+        g = self._pick_gamma()
         window = self._kv_window() or self.cfg.max_seq_len
         # headroom: the verify step writes KV at pos..pos+g
         window = min(self.cfg.max_seq_len,
@@ -539,6 +571,7 @@ class SpecEngine(Engine):
         tgt = np.asarray(tgt)                       # (B, g+1)
 
         # 3) per-slot accept longest agreeing prefix (+ target bonus)
+        accs = []
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]
             n_acc = 0
@@ -546,6 +579,7 @@ class SpecEngine(Engine):
                    and tgt[slot, n_acc] == draft_toks[slot, n_acc]):
                 n_acc += 1
             emitted = [int(t) for t in tgt[slot, :n_acc + 1]]
+            accs.append(n_acc)
             self.spec_stats["proposed"] += g
             self.spec_stats["accepted"] += n_acc
             done = False
@@ -560,6 +594,9 @@ class SpecEngine(Engine):
                     break
             if done:
                 self._finish(slot)
+        if accs:
+            self._acc_ema = (0.8 * self._acc_ema
+                             + 0.2 * (sum(accs) / len(accs)) / max(g - 1, 1))
         self.spec_stats["ticks"] += 1
         return int(self.active.sum()) + len(self._pf)
 

@@ -292,7 +292,7 @@ def mul_nvfp4p2_a16(a, b, s, global_scale, size_m, size_n, size_k,
 def mul_fp4_diff(fmt: str, size_k: int, a, b, s, gs):
     m, n = a.shape[0], b.shape[1]
     mul = {"nvfp4": mul_nvfp4_a16, "nvfp4p2": mul_nvfp4p2_a16,
-           "mxfp4": mul_mxfp4_a16}[fmt]
+           "w4a8": mul_nvfp4_a8, "mxfp4": mul_mxfp4_a16}[fmt]
     return mul(a, b, s, gs, m, n, size_k, -1)
 
 

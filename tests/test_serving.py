@@ -417,3 +417,35 @@ def test_spec_engine_draft_smaller_model(setup):
                              max_batch=1)
     got = eng.run([serving.Request(uid=0, tokens=p, max_new_tokens=6)])
     assert got == want
+
+
+def test_spec_engine_adaptive_gamma(setup):
+    """Acceptance-adaptive draft depth: a perfect draft (target = draft)
+    walks gamma UP toward the ceiling; a garbage draft walks it DOWN to
+    the smallest bucket. Emitted tokens stay greedy-exact throughout, and
+    gamma never exceeds the remaining-token budget (no wasted proposals
+    when every active slot is nearly done)."""
+    cfg, params = setup
+    p = _PROMPTS[2]
+    want = serving.Engine(params, cfg, max_batch=1).run(
+        [serving.Request(uid=0, tokens=p, max_new_tokens=24)])
+
+    eng_up = serving.SpecEngine(params, cfg, params, gamma=11, max_batch=1)
+    eng_up._acc_ema = 0.9  # pretend history says acceptance is high
+    eng_up.gamma = 3
+    got = eng_up.run([serving.Request(uid=0, tokens=p, max_new_tokens=24)])
+    assert got == want
+    assert eng_up.gamma > 3  # walked up the buckets
+
+    draft = llama.init_params(cfg, jax.random.PRNGKey(123))
+    eng_dn = serving.SpecEngine(params, cfg, draft, gamma=11, max_batch=1)
+    got = eng_dn.run([serving.Request(uid=0, tokens=p, max_new_tokens=24)])
+    assert got == want
+    assert eng_dn.gamma == 3  # random draft: acceptance ~0, walked down
+
+    # remaining-budget cap: 2 tokens wanted => first tick drafts at most 3
+    eng_cap = serving.SpecEngine(params, cfg, params, gamma=11,
+                                 max_batch=1, gamma_adaptive=False)
+    out = eng_cap.run([serving.Request(uid=0, tokens=p, max_new_tokens=2)])
+    assert out[0] == want[0][:2]
+    assert eng_cap.spec_stats["proposed"] <= 3

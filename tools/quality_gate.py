@@ -131,7 +131,16 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--fmts", default="nvfp4,mxfp4")
     ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default: interpret-mode gate is CPU work) "
+                         "or empty to keep the image default (axon TPU)")
     args = ap.parse_args()
+
+    if args.platform:
+        # the image sitecustomize pins jax_platforms via jax.config, which
+        # outranks JAX_PLATFORMS — override through config (see conftest)
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from petit_kernel_tpu.models import eval as ev, llama
 
