@@ -81,7 +81,7 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
     import petit_kernel_tpu as pk
     from petit_kernel_tpu.numerics import reference as ref
     from petit_kernel_tpu.ops import autotune
-    from petit_kernel_tpu.ops.solution import ElementB
+    from petit_kernel_tpu.ops.solution import ElementB, MatmulType
 
     if fmt == "hybrid":
         return run_hybrid(cases, n1, n2)
@@ -123,8 +123,9 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
                                   jnp.bfloat16)  # (k, n) dense operand
         a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
-        if tune and fmt != "w4a8":
-            sid_obj = autotune.tune_shape(m, n, k, eb)
+        if tune:
+            mt = (MatmulType.INT8 if fmt == "w4a8" else MatmulType.BF16)
+            sid_obj = autotune.tune_shape(m, n, k, eb, mt)
             sid = sid_obj.repr()
         else:
             sid = -1

@@ -93,6 +93,12 @@ def _make_quantized_layer(tensors: dict, prefix: str, fmt: str) -> dict:
         qw = np.asarray(tensors[wkey]).view(np.uint8)
         scales = np.asarray(tensors[skey]).view(np.uint8)
         gs = np.float32(_to_f32(tensors[gkey]).reshape(()))
+        if fmt == "nvfp4p2":
+            # serve an exact-NVFP4 checkpoint on the pow2-scale fast path:
+            # fold the E4M3 mantissa factor into the FP4 values (opt-in
+            # re-round; quality-gate before adopting — see numerics docs)
+            qw, scales, gs = ref_numerics.requantize_nvfp4_pow2(
+                qw, scales, gs)
         n, kb = qw.shape
         k = kb * 2
         words = layout_mod.repack_fp4_weights(qw, n, k)
@@ -158,8 +164,10 @@ def load_llama(path: str, fmt: str = "nvfp4",
                use_cache: bool = True):
     """Load an HF Llama checkpoint directory -> (cfg, params).
 
-    fmt: "nvfp4" / "mxfp4" (quantize or repack projections) or "bf16"
-    (dense). Pre-quantized ModelOpt NVFP4 checkpoints are repacked directly.
+    fmt: "nvfp4" / "mxfp4" / "nvfp4p2" (pow2 scales, int-add fast path) /
+    "w4a8" (nvfp4 container, int8-MXU compute) or "bf16" (dense).
+    Pre-quantized ModelOpt NVFP4 checkpoints are repacked directly
+    (fmt="nvfp4p2" requantizes them to pow2 scales on load).
     Repacked layouts are cached under <path>/petit_tpu_cache/ and reused
     when newer than the safetensors shards.
     """

@@ -90,6 +90,8 @@ def time_solution(sid: SolutionId, a, b, s, gs, *, n1=10, reps=3) -> float:
     from ..utils import benchlib
 
     def call(a2, b2, s2):
+        if sid.mfma_type == MatmulType.INT8:     # W4A8 third compute path
+            return fused.fused_mul_w4a8(a2, b2, s2, gs, sid=sid)
         return fused.fused_mul(
             a2, b2, s2, gs, sid=sid,
             out_dtype=jnp.float32 if sid.high_precision else jnp.bfloat16)

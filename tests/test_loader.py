@@ -162,3 +162,39 @@ def test_load_qwen2_bias(tmp_path):
                               cfg.vocab_size)
     lg, _ = llama.forward(params, toks, cfg, fmt="nvfp4", interpret=True)
     assert np.isfinite(np.asarray(lg, np.float32)).all()
+
+
+def test_load_prequantized_as_nvfp4p2(tmp_path):
+    """fmt="nvfp4p2" over a pre-quantized NVFP4 checkpoint folds the E4M3
+    mantissa factor into the FP4 values on load (pow2-scale fast path):
+    stored scales are pure powers of two and the repack equals a direct
+    requantize_nvfp4_pow2 of the same tensor."""
+    rng = np.random.default_rng(11)
+    _write_dense_ckpt(tmp_path, rng)
+    n, k = 128, 128
+    w = rng.standard_normal((n, k)).astype(np.float32) / 8
+    qw, scales, gs = refn.quantize_nvfp4(w)
+    t = st_numpy.load_file(os.path.join(tmp_path, "model.safetensors"))
+    pre = "model.layers.0.self_attn.o_proj"
+    del t[pre + ".weight"]
+    t[pre + ".weight"] = qw
+    t[pre + ".weight_scale"] = scales
+    t[pre + ".weight_scale_2"] = np.asarray(gs, np.float32)
+    st_numpy.save_file(t, os.path.join(tmp_path, "model.safetensors"))
+
+    cfg, params = loader.load_llama(str(tmp_path), fmt="nvfp4p2",
+                                    use_cache=False)
+    layer = params["layers"][0]["wo"]
+    qw2, s2, gs2 = refn.requantize_nvfp4_pow2(qw, scales, gs)
+    # every byte is a pow2 E4M3 value: normal (mantissa 0) or subnormal
+    # with a single mantissa bit ({1,2,4} at exp field 0)
+    mant, expf = s2 & 0b111, (s2 >> 3) & 0xF
+    assert np.all((mant == 0) | ((expf == 0) & np.isin(mant, (1, 2, 4))))
+    from petit_kernel_tpu.ops import layout as layout_mod
+    assert np.array_equal(np.asarray(layer["words"]),
+                          layout_mod.repack_fp4_weights(qw2, n, k))
+    assert float(layer["gs"]) == pytest.approx(float(gs2))
+    # requantized tensor still decodes close to the original weight
+    deq = refn.dequant_nvfp4(qw2, s2) * gs2
+    orig = refn.dequant_nvfp4(qw, scales) * gs
+    assert np.abs(deq - orig).max() <= 0.25 * np.abs(orig).max()
