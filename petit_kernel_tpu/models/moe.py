@@ -227,7 +227,12 @@ def quantize_params(params: dict, cfg: MixtralConfig, fmt: str = "mxfp4"):
 
 def forward(params, tokens, cfg: MixtralConfig, cache=None, pos=None, *,
             attn_fmt: str = "nvfp4", moe_fmt: str = "mxfp4",
-            interpret: bool = False):
+            interpret: bool = False, kv_window=None, write_mask=None):
+    """Mixtral forward with the same serving contract as llama.forward:
+    kv_window (static) routes single-token decode through the fused
+    attention kernel; write_mask (B,) bool keeps inactive/mid-prefill
+    slots' KV bit-exact — so the continuous-batching engines can serve
+    MoE models directly (forward_fn hook)."""
     moe_cfg = MoEConfig(cfg.num_experts, cfg.top_k)
     B, T = tokens.shape
     x = params["embed"][tokens]
@@ -239,7 +244,8 @@ def forward(params, tokens, cfg: MixtralConfig, cache=None, pos=None, *,
         h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, c = llama.attention(h, lp, None if cache is None else cache[i],
                                pos, cfg, mask, fmt=attn_fmt,
-                               interpret=interpret)
+                               interpret=interpret, kv_window=kv_window,
+                               write_mask=write_mask)
         x = x + a
         h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         ex = lp["experts"]
@@ -273,3 +279,16 @@ def _dense_moe(x, router_w, experts, moe_cfg: MoEConfig):
         w_e = jnp.where(gate_idx == e, gate_w, 0.0).sum(-1)   # (T,)
         out = out + y * w_e[:, None]
     return out.astype(x.dtype)
+
+
+def make_engine_forward(cfg: MixtralConfig, *, attn_fmt: str = "nvfp4",
+                        moe_fmt: str = "mxfp4", interpret: bool = False):
+    """forward_fn hook for the continuous-batching engines
+    (serving.Engine(..., forward_fn=..., cache=llama.init_cache(cfg, B))):
+    MoE models serve through the same scheduler, fused decode attention,
+    and masked-KV-write machinery as dense Llama."""
+    def forward_fn(p, toks, cache_, pos_, kv_window=None, write_mask=None):
+        return forward(p, toks, cfg, cache_, pos_, attn_fmt=attn_fmt,
+                       moe_fmt=moe_fmt, interpret=interpret,
+                       kv_window=kv_window, write_mask=write_mask)
+    return forward_fn

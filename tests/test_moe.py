@@ -156,3 +156,42 @@ def test_grouped_mul_matches_per_expert():
             interpret=True)
         assert np.array_equal(np.asarray(got[e], np.float32),
                               np.asarray(want, np.float32)), e
+
+
+def test_mixtral_served_through_engine():
+    """The continuous-batching engine serves MoE models via the
+    make_engine_forward hook (fused decode attention + masked KV writes),
+    matching a straight cached greedy decode through moe.forward at the
+    same compiled-graph shapes (bucket-padded prefill, kv_window decode)."""
+    import functools
+    from petit_kernel_tpu.models import serving
+
+    cfg = MixtralConfig.tiny()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = moe.quantize_params(params, cfg, fmt="mxfp4")
+    fwd_fn = moe.make_engine_forward(cfg, interpret=True)
+
+    prompt = np.array([5, 9, 42, 7, 11], np.int32)
+    T0, max_new = len(prompt), 5
+
+    # oracle: same shapes as the engine's compiled programs
+    lb = serving._bucket_len(T0)
+    padded = np.zeros(lb, np.int32)
+    padded[:T0] = prompt
+    cache = llama.init_cache(cfg, 1)
+    fwd = jax.jit(fwd_fn, static_argnames=("kv_window",))
+    logits, cache = fwd(qparams, jnp.asarray(padded)[None], cache,
+                        jnp.arange(lb)[None, :])
+    tok = int(jnp.argmax(logits[0, T0 - 1]))
+    want = [tok]
+    for t in range(max_new - 1):
+        logits, cache = fwd(qparams, jnp.asarray([[tok]]), cache,
+                            jnp.full((1, 1), T0 + t, jnp.int32),
+                            kv_window=cfg.max_seq_len)
+        tok = int(jnp.argmax(logits[0, -1]))
+        want.append(tok)
+
+    eng = serving.Engine(qparams, cfg, max_batch=2, forward_fn=fwd_fn)
+    out = eng.run([serving.Request(uid=0, tokens=prompt,
+                                   max_new_tokens=max_new)])
+    assert out[0] == want
