@@ -227,12 +227,17 @@ def quantize_params(params: dict, cfg: MixtralConfig, fmt: str = "mxfp4"):
 
 def forward(params, tokens, cfg: MixtralConfig, cache=None, pos=None, *,
             attn_fmt: str = "nvfp4", moe_fmt: str = "mxfp4",
-            interpret: bool = False, kv_window=None, write_mask=None):
+            interpret: bool = False, kv_window=None, write_mask=None,
+            moe_block_fn=None):
     """Mixtral forward with the same serving contract as llama.forward:
     kv_window (static) routes single-token decode through the fused
     attention kernel; write_mask (B,) bool keeps inactive/mid-prefill
     slots' KV bit-exact — so the continuous-batching engines can serve
-    MoE models directly (forward_fn hook)."""
+    MoE models directly (forward_fn hook).
+
+    moe_block_fn(x2d, router_w, experts) -> (T, H) overrides the MoE
+    block — e.g. parallel/ep.py's expert-parallel shard_map block; the
+    attention/cache path stays replicated while experts shard on "ep"."""
     moe_cfg = MoEConfig(cfg.num_experts, cfg.top_k)
     B, T = tokens.shape
     x = params["embed"][tokens]
@@ -249,7 +254,9 @@ def forward(params, tokens, cfg: MixtralConfig, cache=None, pos=None, *,
         x = x + a
         h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         ex = lp["experts"]
-        if "words" in ex["w_gate"]:
+        if moe_block_fn is not None:
+            y = moe_block_fn(h.reshape(B * T, -1), lp["router"], ex)
+        elif "words" in ex["w_gate"]:
             y = moe_mlp(h.reshape(B * T, -1), lp["router"], ex, moe_cfg,
                         fmt=moe_fmt, interpret=interpret)
         else:

@@ -75,3 +75,34 @@ def make_moe_mlp_ep(moe_cfg, mesh: Mesh, *, fmt: str = "mxfp4",
         return fn(x, router_w, experts)
 
     return jax.jit(fwd)
+
+
+def quantize_params_ep(params: dict, cfg, mesh: Mesh,
+                       moe_fmt: str = "mxfp4") -> dict:
+    """Quantize a Mixtral-family model and shard every layer's expert
+    stack on the "ep" axis (attention projections + router replicated)."""
+    q = moe_mod.quantize_params(params, cfg, moe_fmt)
+    for lp in q["layers"]:
+        lp["experts"], lp["router"] = place_experts_ep(
+            lp["experts"], lp["router"], mesh)
+    return q
+
+
+def make_ep_step(cfg, mesh: Mesh, *, attn_fmt: str = "nvfp4",
+                 moe_fmt: str = "mxfp4", interpret: bool = False):
+    """forward_fn hook for the serving engines with expert-parallel MoE
+    blocks: attention/cache replicated, experts sharded on "ep", one psum
+    per layer combines local contributions — continuous batching over EP
+    (north-star configs 4/5 composed). Pass to
+    serving.Engine(..., forward_fn=make_ep_step(...), cache=llama.init_cache)."""
+    moe_cfg = moe_mod.MoEConfig(cfg.num_experts, cfg.top_k)
+    block = make_moe_mlp_ep(moe_cfg, mesh, fmt=moe_fmt,
+                            interpret=interpret)
+
+    def forward_fn(p, toks, cache_, pos_, kv_window=None, write_mask=None):
+        return moe_mod.forward(
+            p, toks, cfg, cache_, pos_, attn_fmt=attn_fmt,
+            moe_fmt=moe_fmt, interpret=interpret, kv_window=kv_window,
+            write_mask=write_mask, moe_block_fn=block)
+
+    return forward_fn

@@ -96,6 +96,14 @@ def main():
     p.add_argument("--n2", type=int, default=40)
     p.add_argument("--moe-fmt", default="nvfp4",
                    choices=["nvfp4", "mxfp4"])
+    p.add_argument("--engine", action="store_true",
+                   help="measure the ACTUAL serving engine (Engine.run "
+                        "over make_engine_forward) incl. scheduling + "
+                        "per-block host sync, not the fori_loop proxy")
+    p.add_argument("--decode-block", type=int, default=16,
+                   help="decode steps per host round-trip in --engine mode")
+    p.add_argument("--new-tokens", type=int, default=64,
+                   help="tokens per request in --engine mode")
     args = p.parse_args()
 
     cfg = moe.MixtralConfig(
@@ -120,6 +128,35 @@ def main():
         return total
     wbytes = sum(layer_bytes(lp) for lp in params["layers"])
     wbytes += params["embed"].size * 2
+
+    if args.engine:
+        from petit_kernel_tpu.models import serving
+        fwd_fn = moe.make_engine_forward(cfg, attn_fmt="nvfp4",
+                                         moe_fmt=args.moe_fmt)
+        eng = serving.Engine(params, cfg, max_batch=bs, forward_fn=fwd_fn)
+
+        def reqs(n_new):
+            return [serving.Request(
+                uid=i,
+                tokens=rng.integers(0, cfg.vocab_size, 16).astype(np.int32),
+                max_new_tokens=n_new) for i in range(bs)]
+
+        eng.run(reqs(2 * args.decode_block), decode_block=args.decode_block)
+        eng.reset()
+        t0 = time.perf_counter()
+        out = eng.run(reqs(args.new_tokens),
+                      decode_block=args.decode_block)
+        dt = time.perf_counter() - t0
+        toks = sum(len(v) for v in out.values())
+        t_tok = dt / (toks / bs)
+        roofline_t = wbytes / (HBM_GBPS * 1e9)
+        print(f"# MoE ENGINE mode: {args.layers}L E={cfg.num_experts} "
+              f"moe_fmt={args.moe_fmt} bs={bs} "
+              f"decode_block={args.decode_block}")
+        print(f"# engine tokens/s/chip={toks / dt:.1f}  per-token-step="
+              f"{t_tok * 1e3:.2f} ms  full-expert-stream roofline="
+              f"{roofline_t / t_tok:.1%}")
+        return
 
     @jax.jit
     def chain(n_steps, salt, params, cache, toks):
