@@ -85,27 +85,51 @@ class Engine:
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
                  fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
                  interpret: bool = False, forward_fn=None, cache=None,
-                 top_k: int = 0, seed: int = 0):
+                 top_k: int = 0, seed: int = 0,
+                 prefill_fmt: Optional[str] = None):
         """forward_fn(params, tokens (B, T), cache, pos (B, T)) ->
         (logits, new_cache) overrides the model forward — e.g.
         parallel.tp.make_tp_step for tensor-parallel serving (pass the
         matching sharded cache via `cache`, parallel.tp.init_cache_tp).
         Sampling: per-request temperature (Request.temperature, 0=greedy)
-        with an engine-wide optional top_k cutoff."""
+        with an engine-wide optional top_k cutoff.
+
+        prefill_fmt: regime-specialized compute — run PREFILL chunks
+        through a different GEMM path than decode over the SAME weight
+        container. The intended pair is prefill_fmt="w4a8" with
+        fmt="nvfp4": prefill is compute-bound (int8 MXU ~2x bf16 on v5e)
+        while decode is weight-bandwidth-bound (FP4 dequant wins). Only
+        container-compatible pairs are allowed; prefill numerics then
+        differ from decode (w4a8 is quality-gated, tools/quality_gate.py).
+        Ignored when forward_fn is given."""
         self.params = params
         self.cfg = cfg
         self.B = max_batch
         self.fmt = fmt
+        self.prefill_fmt = prefill_fmt or fmt
         self.interpret = interpret
         self.top_k = top_k
         self._key = jax.random.PRNGKey(seed)
+        prefill_fn = forward_fn
         if forward_fn is None:
-            def forward_fn(p, toks, cache_, pos_, kv_window=None,
-                           write_mask=None):
-                return llama.forward(p, toks, cfg, cache_, pos_,
-                                     fmt=fmt, interpret=interpret,
-                                     kv_window=kv_window,
-                                     write_mask=write_mask)
+            def _make(f):
+                def fwd(p, toks, cache_, pos_, kv_window=None,
+                        write_mask=None):
+                    return llama.forward(p, toks, cfg, cache_, pos_,
+                                         fmt=f, interpret=interpret,
+                                         kv_window=kv_window,
+                                         write_mask=write_mask)
+                return fwd
+            forward_fn = _make(fmt)
+            if self.prefill_fmt != fmt:
+                same_container = {"nvfp4", "w4a8"}
+                if not {fmt, self.prefill_fmt} <= same_container:
+                    raise ValueError(
+                        f"prefill_fmt={self.prefill_fmt!r} is not "
+                        f"container-compatible with fmt={fmt!r}")
+                prefill_fn = _make(self.prefill_fmt)
+            else:
+                prefill_fn = forward_fn
         self._forward = forward_fn
         # custom forward_fns (e.g. parallel.tp.make_tp_step) may not take
         # kv_window / write_mask; detect once and fall back
@@ -128,12 +152,12 @@ class Engine:
         # compiles a handful of programs however many lengths arrive
         if self._fwd_takes_window:
             self._prefill_forward = jax.jit(
-                lambda p, t, c, q, kv_window=None: forward_fn(
+                lambda p, t, c, q, kv_window=None: prefill_fn(
                     p, t, c, q, kv_window=kv_window),
                 static_argnames=("kv_window",))
         else:
             self._prefill_forward = jax.jit(
-                lambda p, t, c, q: forward_fn(p, t, c, q))
+                lambda p, t, c, q: prefill_fn(p, t, c, q))
 
         @functools.partial(jax.jit, static_argnames=("kv_window",))
         def _decode_step(params, cache, toks, pos, key, temps, active,
@@ -618,13 +642,20 @@ class PagedEngine(Engine):
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
                  fmt: str = "nvfp4", page_size: int = 16,
                  num_pages: Optional[int] = None, cache_dtype=jnp.bfloat16,
-                 interpret: bool = False, top_k: int = 0, seed: int = 0):
+                 interpret: bool = False, top_k: int = 0, seed: int = 0,
+                 prefill_fmt: Optional[str] = None):
         from . import paged  # local import: keeps serving importable alone
         self._paged = paged
         self.params = params
         self.cfg = cfg
         self.B = max_batch
         self.fmt = fmt
+        self.prefill_fmt = prefill_fmt or fmt
+        if self.prefill_fmt != fmt and \
+                not {fmt, self.prefill_fmt} <= {"nvfp4", "w4a8"}:
+            raise ValueError(
+                f"prefill_fmt={self.prefill_fmt!r} is not "
+                f"container-compatible with fmt={fmt!r}")
         self.interpret = interpret
         self.top_k = top_k
         self._key = jax.random.PRNGKey(seed)
@@ -644,8 +675,8 @@ class PagedEngine(Engine):
         # jitted paged prefill chunk (compiles per (1, bucket) shape only)
         self._prefill_forward = jax.jit(
             lambda p, t, pages, bt, q: paged.forward_paged(
-                p, t, cfg, pages, bt, q, page_size=page_size, fmt=fmt,
-                interpret=interpret))
+                p, t, cfg, pages, bt, q, page_size=page_size,
+                fmt=self.prefill_fmt, interpret=interpret))
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("kv_window",))

@@ -449,3 +449,28 @@ def test_spec_engine_adaptive_gamma(setup):
     out = eng_cap.run([serving.Request(uid=0, tokens=p, max_new_tokens=2)])
     assert out[0] == want[0][:2]
     assert eng_cap.spec_stats["proposed"] <= 3
+
+
+def test_engine_prefill_fmt_w4a8(setup):
+    """Regime-specialized compute: prefill through the int8-MXU W4A8 path,
+    decode through NVFP4 dequant, over one weight container. The first
+    generated token comes from the prefill forward, so it must equal the
+    all-w4a8 engine's; incompatible containers are rejected."""
+    cfg, params = setup
+    qp = llama.quantize_params(params, "nvfp4", fuse=False)
+    p = np.array([5, 9, 42, 7, 11, 13], np.int32)
+    req = lambda: [serving.Request(uid=0, tokens=p, max_new_tokens=4)]
+
+    mixed = serving.Engine(qp, cfg, max_batch=2, fmt="nvfp4",
+                           prefill_fmt="w4a8", interpret=True)
+    got = mixed.run(req())
+    all8 = serving.Engine(qp, cfg, max_batch=2, fmt="w4a8",
+                          interpret=True)
+    want = all8.run(req())
+    assert len(got[0]) == 4
+    assert got[0][0] == want[0][0]
+
+    with pytest.raises(ValueError):
+        serving.Engine(qp, cfg, fmt="mxfp4", prefill_fmt="w4a8")
+    with pytest.raises(ValueError):
+        serving.PagedEngine(qp, cfg, fmt="mxfp4", prefill_fmt="w4a8")

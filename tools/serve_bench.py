@@ -33,12 +33,13 @@ from petit_kernel_tpu.ops import layout as layout_mod
 HBM_GBPS = 750.0  # measured dense-GEMM ceiling on this v5e (docs/DESIGN.md)
 
 
-def fabricate_qlayer(rng, k, n):
+def fabricate_qlayer(rng, k, n, pow2_scales=False):
     kp = layout_mod.padded_k(k, layout_mod.K_PAD)
     words = rng.integers(0, 2 ** 32, size=(kp // 8, n),
                          dtype=np.uint64).astype(np.uint32)
     sraw = ((rng.integers(4, 11, size=(kp // 16, n), dtype=np.uint8) << 3)
-            | rng.integers(0, 8, size=(kp // 16, n), dtype=np.uint8))
+            | (0 if pow2_scales else  # nvfp4p2 contract: zero mantissa
+               rng.integers(0, 8, size=(kp // 16, n), dtype=np.uint8)))
     import ml_dtypes
     from petit_kernel_tpu.numerics import formats
     scales = formats.e4m3_decode(sraw).astype(ml_dtypes.bfloat16)
@@ -69,7 +70,12 @@ def build_model(cfg, rng, fmt="nvfp4"):
     h, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
-    fab = fabricate_hybrid_layer if fmt == "hybrid" else fabricate_qlayer
+    if fmt == "hybrid":
+        fab = fabricate_hybrid_layer
+    else:
+        import functools as _ft
+        fab = _ft.partial(fabricate_qlayer,
+                          pow2_scales=(fmt == "nvfp4p2"))
     params = {
         "embed": jnp.asarray(
             rng.standard_normal((v, h)).astype(np.float32) / 50,
@@ -105,7 +111,8 @@ def run_engine_bench(args, cfg, params, rng, wbytes):
     kv_dtype = (jnp.float8_e4m3fn if args.kv_dtype == "fp8"
                 else jnp.bfloat16)
     eng = serving.Engine(params, cfg, max_batch=bs, fmt=args.format,
-                         cache_dtype=kv_dtype)
+                         cache_dtype=kv_dtype,
+                         prefill_fmt=args.prefill_fmt)
 
     def reqs(n_new):
         return [serving.Request(
@@ -139,7 +146,11 @@ def main():
     p.add_argument("--n1", type=int, default=8)
     p.add_argument("--n2", type=int, default=40)
     p.add_argument("--format", default="nvfp4",
-                   choices=["nvfp4", "mxfp4", "hybrid"])
+                   choices=["nvfp4", "mxfp4", "nvfp4p2", "hybrid"])
+    p.add_argument("--prefill-fmt", default=None,
+                   choices=[None, "w4a8", "nvfp4"],
+                   help="engine mode: run prefill chunks through a "
+                        "different GEMM path (w4a8 = int8 MXU) than decode")
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"],
                    help="KV cache dtype (fp8 = float8_e4m3fn, upcast "
                         "inside the fused attention kernel)")
