@@ -104,23 +104,22 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
                                          dtype=np.uint8))
                 b = pk.repack_nvfp4(qw, n, k)
                 s = pk.process_nvfp4_scales(scales, n, k)
-                deq = ref.dequant_nvfp4(qw, scales)
             elif fmt == "nvfp4p2":
                 # pow2 E4M3 scale bytes only: the nvfp4p2 contract
                 scales = (rng.integers(4, 11, size=(n, k // group),
                                        dtype=np.uint8) << 3)
                 b = pk.repack_nvfp4(qw, n, k)
                 s = pk.process_nvfp4_scales(scales, n, k)
-                deq = ref.dequant_nvfp4(qw, scales)
             else:
                 scales = rng.integers(118, 132, size=(n, k // group),
                                       dtype=np.uint8)
                 b = pk.repack_mxfp4(qw, n, k)
                 s = pk.process_mxfp4_scales(scales, n, k)
-                deq = ref.dequant_mxfp4(qw, scales)
             gs = np.float32(1.0)
-            b_dense = jnp.asarray(deq.T.astype(np.float32),
-                                  jnp.bfloat16)  # (k, n) dense operand
+            # dense (k, n) baseline operand, dequantized ON DEVICE — the
+            # 1-vCPU bench host takes minutes per 84M-element numpy pass
+            deq = ref.dequant_fp4_device(qw, scales, fmt=fmt)
+            b_dense = deq.T.astype(jnp.bfloat16)
         a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
         if tune:

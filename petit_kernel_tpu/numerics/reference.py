@@ -182,3 +182,38 @@ def quantize_mxfp4(w: np.ndarray):
     s_dec = formats.e8m0_decode(scales)
     q = formats.fp4_encode(wg / s_dec[:, :, None])
     return formats.pack_fp4_pairs(q.reshape(n, k)), scales, np.float32(1.0)
+
+
+def dequant_fp4_device(qweights, scales, *, fmt: str = "nvfp4"):
+    """On-device (jnp) dequant from the NATIVE layout -> (n, k) f32.
+
+    Same contract as dequant_nvfp4/dequant_mxfp4 (no global scale), but
+    built from XLA ops so it runs on the accelerator: the host numpy path
+    is O(n*k) on a machine whose per-element throughput is ~100x worse
+    than the chip's, which made large-shape bench/test-data preparation
+    (e.g. the 84M-element Llama-70B projections) take minutes per tensor.
+    Used by bench.py to fabricate the dense-baseline operand; tests keep
+    the bit-exact numpy oracle.
+    """
+    import jax.numpy as jnp
+    import jax.lax as lax
+
+    n, kb = qweights.shape
+    k = kb * 2
+    g = (formats.NVFP4_GROUP_SIZE if fmt in ("nvfp4", "nvfp4p2", "w4a8")
+         else formats.MXFP4_GROUP_SIZE)
+    assert scales.shape == (n, k // g), (scales.shape, (n, k // g))
+    q = jnp.asarray(qweights)
+    nib = jnp.stack([q & 0xF, q >> 4], axis=-1).reshape(n, k)
+    vals = jnp.take(jnp.asarray(formats.FP4_VALUES, jnp.float32),
+                    nib.astype(jnp.int32))
+    sc = jnp.asarray(scales)
+    if g == formats.NVFP4_GROUP_SIZE:
+        s = lax.bitcast_convert_type(
+            sc, jnp.float8_e4m3fn).astype(jnp.float32)
+    else:
+        bits = sc.astype(jnp.uint32) << 23
+        s = lax.bitcast_convert_type(bits, jnp.float32)
+        s = jnp.where(sc == 0, jnp.float32(2.0 ** -127), s)
+        s = jnp.where(sc == 255, jnp.float32(jnp.nan), s)
+    return (vals.reshape(n, k // g, g) * s[:, :, None]).reshape(n, k)
