@@ -55,8 +55,15 @@ class PagedKVCache:
 
 
 def init_paged_cache(cfg: llama.LlamaConfig, batch: int, *,
-                     page_size: int = 16, num_pages: int | None = None,
+                     page_size: int = 256, num_pages: int | None = None,
                      dtype=jnp.bfloat16) -> PagedKVCache:
+    # TPU-native default is a BIG page (256): the decode kernel DMAs one
+    # (page_size, n_kv, d) block per grid step, and per-step cost is what
+    # bounds it (tools/attn_probe.py: 293 us @128 -> 238 us @256 for a 4K
+    # step against a ~185 us DMA floor). GPU-style 16-token pages starve
+    # the DMA engine here. Clamped for tiny test configs.
+    page_size = min(page_size, cfg.max_seq_len)
+    assert cfg.max_seq_len % page_size == 0
     if num_pages is None:  # enough for every slot at max_seq_len
         num_pages = batch * (cfg.max_seq_len // page_size)
     max_pages = cfg.max_seq_len // page_size

@@ -640,12 +640,13 @@ class PagedEngine(Engine):
     cache backend differs (models/paged.py)."""
 
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
-                 fmt: str = "nvfp4", page_size: int = 16,
+                 fmt: str = "nvfp4", page_size: int = 256,
                  num_pages: Optional[int] = None, cache_dtype=jnp.bfloat16,
                  interpret: bool = False, top_k: int = 0, seed: int = 0,
                  prefill_fmt: Optional[str] = None):
         from . import paged  # local import: keeps serving importable alone
         self._paged = paged
+        page_size = min(page_size, cfg.max_seq_len)  # match init_paged_cache
         self.params = params
         self.cfg = cfg
         self.B = max_batch

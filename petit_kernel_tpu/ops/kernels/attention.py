@@ -40,8 +40,8 @@ _NEG_INF = -1e30
 
 
 def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
-                   acc_ref, m_ref, l_ref, *, nb: int, page_size: int,
-                   sm_scale: float, hkv: int, gp: int):
+                   lg_ref, acc_ref, m_ref, l_ref, *, nb: int,
+                   page_size: int, sm_scale: float, hkv: int, gp: int):
     # grid (B, nb); the kv-head axis is looped INSIDE the kernel — Mosaic
     # requires the block's last-two dims % (8, 128) or full, so the KV
     # block covers the whole (Hkv, d) tail and each head slices it
@@ -69,28 +69,35 @@ def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         if kb.dtype != jnp.bfloat16:
             kb = kb.astype(jnp.bfloat16)
             vb = vb.astype(jnp.bfloat16)
+        # Per-head QK^T dots land in ONE (Hkv*Gp, ps) scratch so all the
+        # softmax VPU work below runs as wide single ops. bf16 MXU dots
+        # with f32 accumulation (upcasting inputs to f32 costs per-head
+        # VPU casts and the multi-pass f32 MXU rate). Head-batching the
+        # softmax + bigger KV blocks measured 357 -> 218 us on a
+        # B=8/Hkv=8/4096-ctx step, vs a 182 us pipelined-DMA floor
+        # (tools/attn_probe.py bisection).
+        for h in range(hkv):
+            lg_ref[h * gp:(h + 1) * gp] = jax.lax.dot_general(
+                q_ref[0, h], kb[:, h, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        logits = lg_ref[:] * sm_scale                     # (Hkv*Gp, ps)
+        kv_pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
+        m_prev = m_ref[:]                                 # (Hkv*Gp, 1)
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                       # (Hkv*Gp, ps)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = m_new
+        pb = p
         for h in range(hkv):
             rows = slice(h * gp, (h + 1) * gp)
-            q = q_ref[0, h].astype(jnp.float32)           # (Gp, d)
-            k = kb[:, h, :].astype(jnp.float32)           # (ps, d)
-            v = vb[:, h, :].astype(jnp.float32)
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale  # (Gp, ps)
-            kv_pos = i * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, logits.shape, 1)
-            logits = jnp.where(kv_pos <= pos_ref[b], logits, _NEG_INF)
-
-            m_prev = m_ref[rows]                          # (Gp, 1) f32
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(logits, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)                   # (Gp, ps)
-            l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=-1,
-                                                        keepdims=True)
-            m_ref[rows] = m_new
-            acc_ref[rows] = acc_ref[rows] * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32)
+            acc_ref[rows] = acc_ref[rows] * alpha[rows] + jnp.dot(
+                pb[rows], vb[:, h, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
 
     @pl.when(i == nb - 1)
     def _epilogue():
@@ -154,6 +161,7 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
             out_specs=pl.BlockSpec((1, Hkv, Gp, d),
                                    lambda b, i, bt, pos: (b, 0, 0, 0)),
             scratch_shapes=[
+                pltpu.VMEM((Hkv * Gp, ps), jnp.float32),
                 pltpu.VMEM((Hkv * Gp, d), jnp.float32),
                 pltpu.VMEM((Hkv * Gp, 1), jnp.float32),
                 pltpu.VMEM((Hkv * Gp, 1), jnp.float32),
@@ -181,15 +189,30 @@ def decode_attention_contiguous(q: jax.Array, ck: jax.Array, cv: jax.Array,
                                 pos: jax.Array, *, nb: int,
                                 page_size: int = 128,
                                 interpret: bool = False) -> jax.Array:
-    """paged_decode_attention over a contiguous (B, S, Hkv, d) cache."""
+    """paged_decode_attention over a contiguous (B, S, Hkv, d) cache.
+
+    A contiguous cache is an *identity view* as pages, so the kernel block
+    size is a free parameter: coarsen it (up to 512, keeping the nb *
+    page_size window identical) — fewer, bigger grid steps measured 293 ->
+    218 us on a 4096-ctx decode step against a 182 us DMA floor
+    (tools/attn_probe.py). Per-slot early exit then operates at the coarser
+    granularity, which costs ragged batches nothing when all slots are
+    short (the window is bucketed the same) and a bounded overshoot
+    (< block) when they are mixed.
+    """
     B, S, Hkv, d = ck.shape
     assert S % page_size == 0
-    bt = contiguous_block_tables(B, S, page_size)
-    pool = (B * S) // page_size
+    window = nb * page_size
+    ps2 = page_size
+    while ps2 < 512 and window % (ps2 * 2) == 0 and S % (ps2 * 2) == 0:
+        ps2 *= 2
+    nb2 = window // ps2
+    bt = contiguous_block_tables(B, S, ps2)
+    pool = (B * S) // ps2
     return paged_decode_attention(
-        q, ck.reshape(pool, page_size, Hkv, d),
-        cv.reshape(pool, page_size, Hkv, d), bt, pos,
-        nb=nb, page_size=page_size, interpret=interpret)
+        q, ck.reshape(pool, ps2, Hkv, d),
+        cv.reshape(pool, ps2, Hkv, d), bt, pos,
+        nb=nb2, page_size=ps2, interpret=interpret)
 
 
 def pow2_bucket(n: int, lo: int = 1) -> int:
@@ -235,9 +258,10 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
             vb = vb.astype(jnp.bfloat16)
         for h in range(hkv):
             rows_sl = slice(h * G * tq, (h + 1) * G * tq)
-            q = q_ref[0, h].reshape(G * tq, d).astype(jnp.float32)
-            k = kb[:, h, :].astype(jnp.float32)            # (ts, d)
-            v = vb[:, h, :].astype(jnp.float32)
+            # bf16 MXU dots, f32 accumulation (see _decode_kernel note)
+            q = q_ref[0, h].reshape(G * tq, d)             # bf16
+            k = kb[:, h, :]                                # (ts, d) bf16
+            v = vb[:, h, :]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # (G*tq, ts)
@@ -254,7 +278,8 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
                 p, -1, keepdims=True)
             m_ref[rows_sl] = m_new
             acc_ref[rows_sl] = acc_ref[rows_sl] * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32)
+                p, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
 
     @pl.when(si == ns - 1)
     def _epilogue():
