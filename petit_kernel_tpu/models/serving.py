@@ -79,6 +79,39 @@ def sample_next(logits, key, temps, top_k: int = 0):
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _make_chunk_prefill(prefill_fn, takes_window: bool, top_k: int):
+    """Build the one-program chunk-prefill: dynamic-slice the slot's cache
+    rows, run `prefill_fn` on the (1, bucket) chunk, dynamic-update the
+    rows back, and sample the token at `last_idx` — a single device program
+    per chunk (the host-side per-layer slice/writeback it replaces cost
+    ~4*layers dispatches per chunk). Returns (first_token, new_cache); the
+    caller reads first_token back only when the prompt completes."""
+
+    @functools.partial(jax.jit, donate_argnums=(1,),
+                       static_argnames=("kv_window",))
+    def prog(params, cache, toks, pos, slot, last_idx, key, temp,
+             kv_window=None):
+        rows = [(jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0),
+                 jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0))
+                for (k, v) in cache]
+        if takes_window:
+            logits, new_rows = prefill_fn(params, toks, rows, pos,
+                                          kv_window=kv_window)
+        else:
+            logits, new_rows = prefill_fn(params, toks, rows, pos)
+        cache = [(jax.lax.dynamic_update_slice_in_dim(
+                      k, k1.astype(k.dtype), slot, axis=0),
+                  jax.lax.dynamic_update_slice_in_dim(
+                      v, v1.astype(v.dtype), slot, axis=0))
+                 for (k, v), (k1, v1) in zip(cache, new_rows)]
+        lg = jax.lax.dynamic_index_in_dim(logits, last_idx, axis=1,
+                                          keepdims=False)       # (1, V)
+        first = sample_next(lg, key, temp[None], top_k)[0]
+        return first, cache
+
+    return prog
+
+
 class Engine:
     """Slot-based continuous batching over a llama-family FP4 model."""
 
@@ -149,7 +182,9 @@ class Engine:
         self._pf: list[_PrefillJob] = []   # chunked-prefill queue
         # jitted prefill forward: XLA's jit cache keys on the (1, bucket)
         # shape (x kv_window bucket when supported), so the prefill path
-        # compiles a handful of programs however many lengths arrive
+        # compiles a handful of programs however many lengths arrive.
+        # (score_forward's full-batch eval path; chunk admission uses
+        # _prefill_prog below.)
         if self._fwd_takes_window:
             self._prefill_forward = jax.jit(
                 lambda p, t, c, q, kv_window=None: prefill_fn(
@@ -158,8 +193,18 @@ class Engine:
         else:
             self._prefill_forward = jax.jit(
                 lambda p, t, c, q: prefill_fn(p, t, c, q))
+        # One-program chunk prefill: slice the slot's cache rows, run the
+        # chunk forward, write the rows back, and sample the chunk's last
+        # real-position token — ALL inside one jit. The previous host-side
+        # per-layer row slice + .at[].set writeback dispatched ~4*layers
+        # tiny device programs per chunk, which over the ~29 ms-latency
+        # relay made one 16-token prefill cost ~270 ms (measured; the
+        # whole-prompt admission dominated engine throughput).
+        self._prefill_prog = _make_chunk_prefill(
+            prefill_fn, self._fwd_takes_window, top_k)
 
-        @functools.partial(jax.jit, static_argnames=("kv_window",))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_window",))
         def _decode_step(params, cache, toks, pos, key, temps, active,
                          kv_window=None):
             kw = {}
@@ -177,7 +222,8 @@ class Engine:
 
         self._decode_step = _decode_step
 
-        @functools.partial(jax.jit, static_argnames=("kv_window", "steps"))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_window", "steps"))
         def _decode_block(params, cache, toks, pos, key, temps, active,
                           steps, kv_window=None):
             # K decode steps per host round-trip (lax.scan): the engine's
@@ -260,16 +306,17 @@ class Engine:
         while w < job.offset + lb:
             w *= 2
         kv_window = min(w, self.cfg.max_seq_len)
-        logits = self._prefill_chunk(job.slot, jnp.asarray(padded)[None, :],
-                                     pos, kv_window)
+        # first generated token comes from the last REAL position; the
+        # sample rides inside the chunk program and is only read back
+        # (one relay round trip) when the prompt completes
+        first = self._prefill_chunk(job.slot, jnp.asarray(padded)[None, :],
+                                    pos, kv_window, last_idx=n - 1,
+                                    key=self._next_key())
         job.offset += n
         if job.offset == len(toks):
             self._pf.pop(0)
             slot = job.slot
-            # first generated token comes from the last REAL position
-            first = int(sample_next(
-                logits[:, n - 1], self._next_key(),
-                jnp.full((1,), self.temps[slot], jnp.float32), self.top_k)[0])
+            first = int(first)
             self.pos[slot] = len(toks)
             self.active[slot] = True
             self.last_tok[slot] = first
@@ -277,25 +324,23 @@ class Engine:
 
     # -- cache backend hooks (overridden by PagedEngine) ---------------------
 
-    def _prefill_chunk(self, slot: int, toks, pos,
-                       kv_window=None) -> jax.Array:
+    def _prefill_chunk(self, slot: int, toks, pos, kv_window=None,
+                       last_idx: int = 0, key=None) -> jax.Array:
         """Run one right-padded prefill chunk (1, Lb) at absolute positions
-        `pos` through slot's cache rows; returns the chunk logits. Padded
-        positions write garbage KV beyond the true length — harmless: the
-        causal mask hides them and decode overwrites row by row."""
-        cache_rows = [(k[slot:slot + 1], v[slot:slot + 1])
-                      for (k, v) in self.cache]
-        if self._fwd_takes_window:
-            logits, layer_caches = self._prefill_forward(
-                self.params, toks, cache_rows, pos, kv_window=kv_window)
-        else:
-            logits, layer_caches = self._prefill_forward(
-                self.params, toks, cache_rows, pos)
-        for i, (k1, v1) in enumerate(layer_caches):
-            k, v = self.cache[i]
-            self.cache[i] = (k.at[slot:slot + 1].set(k1),
-                             v.at[slot:slot + 1].set(v1))
-        return logits
+        `pos` through slot's cache rows — ONE jitted program (row slicing,
+        forward, row writeback and the last-real-position sample all fused;
+        see _make_chunk_prefill). Returns the sampled token at `last_idx`
+        as a DEVICE scalar (callers read it back only on prompt
+        completion). Padded positions write garbage KV beyond the true
+        length — harmless: the causal mask hides them and decode
+        overwrites row by row."""
+        key = self._next_key() if key is None else key
+        first, self.cache = self._prefill_prog(
+            self.params, self.cache, toks, pos, jnp.int32(slot),
+            jnp.int32(last_idx), key,
+            jnp.asarray(self.temps[slot], jnp.float32),
+            kv_window=kv_window if self._fwd_takes_window else None)
+        return first
 
     def score_forward(self, toks: jax.Array) -> jax.Array:
         """Full-sequence logits (B, L, V) THROUGH this engine's serving
@@ -385,20 +430,29 @@ class Engine:
                     self._finish(slot)
         return int(self.active.sum()) + len(self._pf)
 
-    def _block_budget(self, max_steps: int) -> int:
+    def _block_budget(self, max_steps: int, waiters: bool = True) -> int:
         """Largest decode-block size that (a) never writes KV past
-        max_seq_len for any active slot and (b) does not overshoot the
-        shortest remaining request (so finishing slots free promptly for
-        queued admissions). Greedy token streams are identical to K=1."""
+        max_seq_len for any active slot and (b) with `waiters`, does not
+        overshoot the shortest remaining request (so finishing slots free
+        promptly for queued admissions). With no waiters there is nothing
+        to admit into a freed slot, so the block is capped only by the
+        LONGEST remaining request — slots that finish mid-block have their
+        surplus tokens discarded (the eos contract), trading a little
+        wasted device work for one host round trip per block (~29 ms over
+        the relay, the engine loop's dominant cost). Greedy token streams
+        are identical to K=1 either way."""
         k = max_steps
+        longest = 1
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]
-            k = min(k,
-                    self.cfg.max_seq_len - int(self.pos[slot]) - 1,
-                    req.max_new_tokens - len(self.generated[req.uid]))
-        return max(1, k)
+            k = min(k, self.cfg.max_seq_len - int(self.pos[slot]) - 1)
+            remaining = req.max_new_tokens - len(self.generated[req.uid])
+            longest = max(longest, remaining)
+            if waiters:
+                k = min(k, remaining)
+        return max(1, min(k, longest))
 
-    def step_block(self, max_steps: int) -> int:
+    def step_block(self, max_steps: int, waiters: bool = True) -> int:
         """Like step(), but decodes up to max_steps tokens per active slot
         in ONE jitted program (lax.scan) — one host round-trip per block
         instead of per token. Slots hitting eos mid-block have their
@@ -410,7 +464,7 @@ class Engine:
             self._advance_prefill()
         if not self.active.any():
             return len(self._pf)
-        steps = self._block_budget(max_steps)
+        steps = self._block_budget(max_steps, waiters or bool(self._pf))
         if steps <= 1:
             return self.step()
         out = np.asarray(self._run_decode_block(
@@ -443,8 +497,16 @@ class Engine:
         while pending or self.active.any() or self._pf:
             while pending and self.has_capacity():
                 self.add_request(pending.pop(0))
+            if decode_block > 1 and not self.active.any():
+                # nothing is decoding yet: drain the prefill backlog in one
+                # burst instead of interleaving one chunk per tick — the
+                # chunk-per-tick pacing exists to bound DECODE latency,
+                # which is moot with no active slot, and each avoided tick
+                # saves a single-token decode round trip (~29 ms relay)
+                while self._pf:
+                    self._advance_prefill()
             if decode_block > 1 and not self._pf:
-                self.step_block(decode_block)
+                self.step_block(decode_block, waiters=bool(pending))
             else:
                 self.step()
         return dict(self.finished)
@@ -516,28 +578,31 @@ class SpecEngine(Engine):
 
         self._draft_step = _draft_step
         self._verify_step = _verify_step
-        # draft cache must be prefilled alongside the target's
-        self._draft_prefill = jax.jit(
-            lambda p, t, c, q: llama.forward(p, t, self.draft_cfg, c, q,
-                                             fmt=draft_fmt,
-                                             interpret=interpret))
+        # draft cache must be prefilled alongside the target's (same
+        # one-program chunk shape as the target; sampled token unused)
+        self._draft_prefill_prog = _make_chunk_prefill(
+            lambda p, t, c, q, kv_window=None: llama.forward(
+                p, t, self.draft_cfg, c, q, fmt=draft_fmt,
+                interpret=interpret),
+            True, 0)
 
-    def step_block(self, max_steps: int) -> int:
+    def step_block(self, max_steps: int, waiters: bool = True) -> int:
         """Speculative ticks already emit multiple tokens per round trip;
         a plain decode block would bypass the draft model AND desync the
         draft cache. run(decode_block=K) therefore degrades to spec ticks."""
         return self.step()
 
-    def _prefill_chunk(self, slot, toks, pos, kv_window=None):
-        _, dcaches = self._draft_prefill(
-            self.draft_params, toks,
-            [(k[slot:slot + 1], v[slot:slot + 1])
-             for (k, v) in self.dcache], pos)
-        for i, (k1, v1) in enumerate(dcaches):
-            k, v = self.dcache[i]
-            self.dcache[i] = (k.at[slot:slot + 1].set(k1),
-                              v.at[slot:slot + 1].set(v1))
-        return super()._prefill_chunk(slot, toks, pos, kv_window)
+    def _prefill_chunk(self, slot, toks, pos, kv_window=None,
+                       last_idx: int = 0, key=None):
+        # draft cache prefills alongside the target's — same one-program
+        # row slice/forward/writeback shape (the sampled token is ignored:
+        # the draft's first proposal is recomputed at tick time)
+        key = self._next_key() if key is None else key
+        _, self.dcache = self._draft_prefill_prog(
+            self.draft_params, self.dcache, toks, pos, jnp.int32(slot),
+            jnp.int32(last_idx), key, jnp.float32(0.0))
+        return super()._prefill_chunk(slot, toks, pos, kv_window,
+                                      last_idx=last_idx, key=key)
 
     def _pick_gamma(self) -> int:
         """Draft depth for this tick: acceptance-adaptive bucket walk,
@@ -726,8 +791,8 @@ class PagedEngine(Engine):
                                           pc.block_tables, pos)
         return logits
 
-    def _prefill_chunk(self, slot: int, toks, pos,
-                       kv_window=None) -> jax.Array:
+    def _prefill_chunk(self, slot: int, toks, pos, kv_window=None,
+                       last_idx: int = 0, key=None) -> jax.Array:
         # kv_window unused: paged KV is not contiguous, so multi-token
         # prefill keeps the gathered-pages path (decode uses the paged
         # flash kernel)
@@ -739,7 +804,10 @@ class PagedEngine(Engine):
         logits, self.pc.pages = self._prefill_forward(
             self.params, toks, self.pc.pages,
             self.pc.block_tables[slot:slot + 1], pos)
-        return logits
+        key = self._next_key() if key is None else key
+        return sample_next(logits[:, last_idx], key,
+                           jnp.asarray(self.temps[slot:slot + 1],
+                                       jnp.float32), self.top_k)[0]
 
     def _decode(self, toks: jax.Array, pos: jax.Array) -> jax.Array:
         # grow block tables so this tick's write position is covered;

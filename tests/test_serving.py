@@ -255,7 +255,7 @@ def test_prefill_compile_count_bounded(setup):
     eng = serving.Engine(params, cfg, max_batch=4)
     out = eng.run(reqs)
     assert len(out) == len(lengths)
-    assert eng._prefill_forward._cache_size() <= len(
+    assert eng._prefill_prog._cache_size() <= len(
         serving.PREFILL_BUCKETS)
 
 
@@ -324,6 +324,18 @@ def test_decode_block_matches_single_step(setup):
             [serving.Request(uid=0, tokens=_PROMPTS[0], max_new_tokens=9,
                              eos_id=eos)], decode_block=k)
         assert out[0] == ref[0][:5], k
+    # uneven lengths with NO queued admissions: the block is capped by the
+    # LONGEST remaining request (waiters=False) and the short slot's
+    # surplus is discarded — outputs must still equal K=1
+    uneven = lambda: [
+        serving.Request(uid=0, tokens=_PROMPTS[0], max_new_tokens=3),
+        serving.Request(uid=1, tokens=_PROMPTS[1], max_new_tokens=9)]
+    for mk in (lambda: serving.Engine(params, cfg, max_batch=2),
+               lambda: serving.PagedEngine(params, cfg, max_batch=2,
+                                           page_size=8)):
+        want = mk().run(uneven())
+        got = mk().run(uneven(), decode_block=8)
+        assert got == want, type(mk()).__name__
 
 
 def test_concurrent_decode_does_not_corrupt_prefill(setup):

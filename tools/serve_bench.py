@@ -120,8 +120,12 @@ def run_engine_bench(args, cfg, params, rng, wbytes):
             tokens=rng.integers(0, cfg.vocab_size, 16).astype(np.int32),
             max_new_tokens=n_new) for i in range(bs)]
 
-    # warm: compiles prefill bucket + decode block programs
-    eng.run(reqs(2 * args.decode_block), decode_block=args.decode_block)
+    # warm: compiles prefill bucket + decode block programs. MUST cover the
+    # same token count as the timed run — each pow2 kv-window bucket the
+    # decode crosses compiles its own block program, and a 32L Mosaic
+    # compile landing inside the timed region reads as ~30x engine
+    # overhead (measured: 18.4 tok/s with a cold 256-bucket vs 10x+ warm).
+    eng.run(reqs(args.new_tokens), decode_block=args.decode_block)
     eng.reset()
     t0 = time.perf_counter()
     out = eng.run(reqs(args.new_tokens), decode_block=args.decode_block)
