@@ -110,7 +110,7 @@ def tune_shape(m: int, n: int, k: int,
                *, verbose: bool = False, update_table: bool = True,
                max_candidates: int = 24, full: bool = False,
                time_budget_s: float | None = None,
-               top: int = 5) -> SolutionId:
+               top: int = 5, pow2_scale: bool = False) -> SolutionId:
     """Tune one shape on the current device; returns the fastest SolutionId
     and (by default) records it in the in-memory dispatch table.
 
@@ -131,10 +131,15 @@ def tune_shape(m: int, n: int, k: int,
     # to 0 via the kernel's q==1 mask)
     b = jnp.asarray(rng.integers(0, 2 ** 32, size=(kp // 8, n),
                                  dtype=np.uint64).astype(np.uint32))
-    s_raw = (((rng.integers(4, 11, size=(kp // group, n), dtype=np.uint8) << 3)
-              | rng.integers(0, 8, size=(kp // group, n), dtype=np.uint8))
-             if element_b == ElementB.NVFP4 else
-             rng.integers(110, 140, size=(kp // group, n), dtype=np.uint8))
+    if element_b == ElementB.NVFP4:
+        s_raw = (rng.integers(4, 11, size=(kp // group, n),
+                              dtype=np.uint8) << 3)
+        if not pow2_scale:   # nvfp4p2 contract: mantissa bits zero
+            s_raw = s_raw | rng.integers(0, 8, size=(kp // group, n),
+                                         dtype=np.uint8)
+    else:
+        s_raw = rng.integers(110, 140, size=(kp // group, n),
+                             dtype=np.uint8)
     dec = (_formats.e4m3_decode(s_raw) if element_b == ElementB.NVFP4
            else _formats.e8m0_decode(s_raw))
     if element_b == ElementB.MXFP4:
@@ -153,6 +158,9 @@ def tune_shape(m: int, n: int, k: int,
     else:
         cands = candidate_solutions(m, n, k, element_b, mfma_type,
                                     max_candidates)
+    if pow2_scale:
+        import dataclasses as _dc
+        cands = [_dc.replace(sid, pow2_scale=True) for sid in cands]
     import time as _time
     t0 = _time.perf_counter()
     timed: list[tuple[float, SolutionId]] = []
@@ -179,7 +187,8 @@ def tune_shape(m: int, n: int, k: int,
     best, best_t = timed[0][1], timed[0][0]
     assert best is not None
     if update_table:
-        key = gemm_mod._table_key(m, n, k, element_b, mfma_type, False)
+        key = gemm_mod._table_key(m, n, k, element_b, mfma_type, False,
+                                  pow2=pow2_scale)
         gemm_mod._TUNED_TABLE[key] = best.repr()
     return best
 
@@ -272,18 +281,24 @@ def load_table(kind: str | None = None) -> bool:
     with open(path) as f:
         raw = json.load(f)
     table = {}
-    # two passes so current 7-field keys always win over legacy 6-field
-    # keys that parse to the same tuple (JSON iteration order must not
-    # decide which solution dispatches)
-    for want_len7 in (False, True):
+    # fixed pass order so current 7-field keys always win over legacy
+    # 6-field keys that parse to the same tuple (JSON iteration order must
+    # not decide which solution dispatches); 8-field keys are the pow2
+    # (nvfp4p2) entries and are distinct tuples by construction
+    for want_len in (6, 7, 8):
         for ks, v in raw.items():
             parts = ks.split(",")
-            if (len(parts) > 6) != want_len7:
+            if len(parts) != want_len:
                 continue
             # 6-field keys are the legacy (pre-grouped) format: grouped=False
             grouped = parts[6] == "True" if len(parts) > 6 else False
-            table[(int(parts[0]), int(parts[1]), int(parts[2]),
+            key = (int(parts[0]), int(parts[1]), int(parts[2]),
                    int(parts[3]), int(parts[4]), parts[5] == "True",
-                   grouped)] = v
+                   grouped)
+            if want_len == 8:
+                if parts[7] != "True":
+                    continue
+                key = key + (True,)
+            table[key] = v
     gemm_mod.set_tuned_table(table)
     return True

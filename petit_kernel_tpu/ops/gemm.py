@@ -45,11 +45,17 @@ def _m_bucket(m: int) -> int:
 
 def _table_key(m: int, n: int, k: int, element_b: ElementB,
                mfma_type: MatmulType, high_precision: bool,
-               grouped: bool = False) -> tuple:
+               grouped: bool = False, pow2: bool = False) -> tuple:
     """Tuned-table key. `grouped` separates the grouped (MoE expert)
-    kernel's optima from the dense kernel's at the same per-expert shape."""
-    return (_m_bucket(m), n, k, int(element_b), int(mfma_type),
-            bool(high_precision), bool(grouped))
+    kernel's optima from the dense kernel's at the same per-expert shape;
+    `pow2` separates the nvfp4p2 (pow2-scale) kernel's optima — its scale
+    apply is an integer exponent add instead of a bf16 slab multiply, so
+    the VPU/DMA balance (and with it the best block shape) differs from
+    exact NVFP4's. pow2 entries get an 8th key field; non-pow2 keys stay
+    7-field for table compatibility."""
+    key = (_m_bucket(m), n, k, int(element_b), int(mfma_type),
+           bool(high_precision), bool(grouped))
+    return key + (True,) if pow2 else key
 
 
 def resolve_solution(m: int, n: int, k: int,
@@ -57,7 +63,8 @@ def resolve_solution(m: int, n: int, k: int,
                      mfma_type: MatmulType = MatmulType.BF16,
                      high_precision: bool = False,
                      solution_id: int = -1,
-                     hints: Optional[SolutionHints] = None) -> SolutionId:
+                     hints: Optional[SolutionHints] = None,
+                     pow2_scale: bool = False) -> SolutionId:
     """solution_id semantics match the reference (fp4.cc:189-199):
     -1 -> tuned table, then heuristic; otherwise an explicit SolutionId.repr()
     which must be feasible or ValueError (kErrorKernelShape analog).
@@ -85,6 +92,16 @@ def resolve_solution(m: int, n: int, k: int,
                 f"solution {sid} infeasible for m={m} n={n} k={k} "
                 "(kErrorKernelShape)")
         return sid
+    if pow2_scale and not high_precision:
+        # pow2-tuned entry first (its own key: the int-scale kernel's
+        # optimum block shape differs from exact NVFP4's); fall back to
+        # the exact entry with the pow2 bit flipped on (callers' _mul
+        # fallback behavior, now centralized)
+        key8 = _table_key(m, n, k, element_b, mfma_type, False, pow2=True)
+        if key8 in _TUNED_TABLE:
+            sid = SolutionId.from_repr(_TUNED_TABLE[key8])
+            if sid.pow2_scale and solution_mod.is_feasible(sid, m, n, k):
+                return sid
     key = _table_key(m, n, k, element_b, mfma_type, high_precision)
     if key in _TUNED_TABLE:
         sid = SolutionId.from_repr(_TUNED_TABLE[key])
@@ -176,10 +193,11 @@ def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
         # solution.default_hints)
         hints = solution_mod.default_hints(b_type=element_b)
     sid = resolve_solution(size_m, size_n, size_k, element_b, mfma,
-                           solution_id=solution_id, hints=hints)
+                           solution_id=solution_id, hints=hints,
+                           pow2_scale=pow2_scale)
     if pow2_scale and not sid.pow2_scale and not sid.high_precision:
-        # nvfp4p2 tensors reuse the NVFP4 tuned/heuristic block shapes; the
-        # pow2 bit only switches the in-kernel scale apply to the int path
+        # no pow2-tuned entry: reuse the NVFP4 tuned/heuristic block shape
+        # with the in-kernel scale apply switched to the int path
         sid = dataclasses.replace(sid, pow2_scale=True)
     # fp16 activations: TPU MXU is bf16/f32-native; compute in bf16 (or f32
     # with a high-precision solution) and cast back. Documented deviation

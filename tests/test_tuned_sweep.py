@@ -57,7 +57,8 @@ def _shape_for(sid: SolutionId):
 
 @pytest.mark.parametrize(
     "sid,eb", _CASES,
-    ids=[f"{eb.name}-{s.block_m}x{s.block_n}x{s.block_k}"
+    ids=[f"{eb.name}{'p2' if s.pow2_scale else ''}"
+         f"-{s.block_m}x{s.block_n}x{s.block_k}"
          f"{'-wc' if s.weight_cache else ''}" for s, eb in _CASES])
 def test_tuned_config_matches_oracle(sid, eb):
     m, n, k = _shape_for(sid)
@@ -66,8 +67,10 @@ def test_tuned_config_matches_oracle(sid, eb):
     nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
     qw = formats.pack_fp4_pairs(nib)
     if eb == ElementB.NVFP4:
-        raw = ((rng.integers(4, 11, size=(n, k // 16), dtype=np.uint8) << 3)
-               | rng.integers(0, 8, size=(n, k // 16), dtype=np.uint8))
+        raw = (rng.integers(4, 11, size=(n, k // 16), dtype=np.uint8) << 3)
+        if not sid.pow2_scale:  # nvfp4p2 sids require pow2-only scales
+            raw = raw | rng.integers(0, 8, size=(n, k // 16),
+                                     dtype=np.uint8)
         b = pk.repack_nvfp4(qw, n, k)
         s = pk.process_nvfp4_scales(raw, n, k)
         mul = pk.mul_nvfp4_a16

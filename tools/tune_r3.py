@@ -24,6 +24,8 @@ from petit_kernel_tpu.ops.solution import ElementB, MatmulType
 
 QUICK_NK = [(10240, 8192), (8192, 8192), (8192, 28672)]
 SHARD70B_NK = [(1280, 8192), (8192, 1024), (7168, 8192), (8192, 3584)]
+# Llama-8B serve projections (what serve_bench / an 8B engine decode hits)
+SERVE8B_NK = [(6144, 4096), (4096, 4096), (28672, 4096), (4096, 14336)]
 
 
 def main():
@@ -47,11 +49,23 @@ def main():
     if "w4a8" not in skip:
         jobs += [(m, n, k, ElementB.NVFP4, MatmulType.INT8)
                  for (n, k) in QUICK_NK for m in (256, 512)]
+    jobs = [j + (False,) for j in jobs]
+    if "p2" not in skip:
+        # nvfp4p2 (pow2-scale) kernel: the int-exponent scale apply shifts
+        # the VPU/DMA balance, so it gets its OWN tuned entries (8-field
+        # keys) over the decode-regime shapes: quick suite, the 8B serve
+        # projections at bs=8, and the 70B TP shards
+        jobs += [(m, n, k, ElementB.NVFP4, MatmulType.BF16, True)
+                 for (n, k) in QUICK_NK for m in (16,)]
+        jobs += [(m, n, k, ElementB.NVFP4, MatmulType.BF16, True)
+                 for (n, k) in SERVE8B_NK for m in (8, 16)]
+        jobs += [(m, n, k, ElementB.NVFP4, MatmulType.BF16, True)
+                 for (n, k) in SHARD70B_NK for m in (16,)]
 
     t0 = time.time()
-    for i, (m, n, k, eb, mt) in enumerate(jobs):
+    for i, (m, n, k, eb, mt, p2) in enumerate(jobs):
         sid = autotune.tune_shape(
-            m, n, k, eb, mt, verbose=True,
+            m, n, k, eb, mt, verbose=True, pow2_scale=p2,
             max_candidates=args.candidates, time_budget_s=args.budget)
         path = autotune.save_table()   # persist incrementally
         print(f"# [{i + 1}/{len(jobs)}] m={m} n={n} k={k} "
