@@ -558,26 +558,43 @@ class SpecEngine(Engine):
                                        cache_dtype)
         self.spec_stats = {"proposed": 0, "accepted": 0, "ticks": 0}
 
-        @functools.partial(jax.jit, static_argnames=("kv_window",))
-        def _draft_step(dparams, dcache, toks, pos, active, kv_window=None):
-            logits, dcache = llama.forward(
-                dparams, toks[:, None], self.draft_cfg, dcache,
-                pos[:, None], fmt=draft_fmt, interpret=interpret,
-                kv_window=kv_window, write_mask=active)
-            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), dcache
-
-        @functools.partial(jax.jit, static_argnames=("kv_window",))
-        def _verify_step(params_, cache, seq, pos, active, kv_window=None):
-            # one cached multi-token forward scores every draft position;
-            # inactive / mid-prefill rows keep their KV (write_mask)
-            logits, cache = llama.forward(params_, seq, cfg, cache, pos,
+        @functools.partial(jax.jit, donate_argnums=(2, 3),
+                           static_argnames=("g", "kv_window"))
+        def _spec_tick(params_, dparams, cache, dcache, last_tok, pos,
+                       active, g, kv_window=None):
+            """The WHOLE speculative tick as one device program: gamma
+            draft forwards (lax.scan), the multi-token target verify, and
+            the leading-agreement accept count. The round-2 host loop
+            dispatched g draft programs + 1 verify per tick and read each
+            draft's tokens back — g+1 relay round trips (~35 ms each) for
+            <= g tokens, which made spec decoding strictly worse than
+            plain decode blocks over the relay. Returns (tgt (B, g+1),
+            n_acc (B,), cache, dcache); one host read per tick."""
+            def body(carry, t):
+                cur, dc = carry
+                lg, dc = llama.forward(
+                    dparams, cur[:, None], self.draft_cfg, dc,
+                    (pos + t)[:, None], fmt=draft_fmt, interpret=interpret,
+                    kv_window=kv_window, write_mask=active)
+                nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+                return (nxt, dc), nxt
+            (_, dcache), drafts = jax.lax.scan(
+                body, (last_tok, dcache), jnp.arange(g, dtype=jnp.int32))
+            drafts = drafts.T                                  # (B, g)
+            seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+            tpos = pos[:, None] + jnp.arange(g + 1, dtype=jnp.int32)[None]
+            logits, cache = llama.forward(params_, seq, cfg, cache, tpos,
                                           fmt=fmt, interpret=interpret,
                                           kv_window=kv_window,
                                           write_mask=active)
-            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+            tgt = jnp.argmax(logits, -1).astype(jnp.int32)     # (B, g+1)
+            # longest agreeing prefix, capped at g-1 (the g-th proposal's
+            # KV is never in the draft cache): leading-ones count
+            agree = (tgt[:, :g - 1] == drafts[:, :g - 1]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)
+            return tgt, n_acc, cache, dcache
 
-        self._draft_step = _draft_step
-        self._verify_step = _verify_step
+        self._spec_tick = _spec_tick
         # draft cache must be prefilled alongside the target's (same
         # one-program chunk shape as the target; sampled token unused)
         self._draft_prefill_prog = _make_chunk_prefill(
@@ -640,33 +657,19 @@ class SpecEngine(Engine):
                      max(window, _next_pow2_128(int(
                          self.pos[self.active].max()) + g + 1)))
 
-        # 1) draft proposes g tokens (batched, sequential)
-        draft_toks = np.zeros((self.B, g), np.int32)
-        cur = jnp.asarray(self.last_tok)
-        pos0 = jnp.asarray(self.pos)
-        act = jnp.asarray(self.active)
-        for t in range(g):
-            cur, self.dcache = self._draft_step(
-                self.draft_params, self.dcache, cur, pos0 + t, act,
-                kv_window=window)
-            draft_toks[:, t] = np.asarray(cur)
+        # 1+2+3 device half: draft scan + verify + accept count in ONE
+        # program, one host read per tick (see _spec_tick)
+        tgt_d, nacc_d, self.cache, self.dcache = self._spec_tick(
+            self.params, self.draft_params, self.cache, self.dcache,
+            jnp.asarray(self.last_tok), jnp.asarray(self.pos),
+            jnp.asarray(self.active), g=g, kv_window=window)
+        tgt, n_accs = jax.device_get((tgt_d, nacc_d))   # (B, g+1), (B,)
 
-        # 2) target verifies [last_tok, d0..d_{g-1}] in one forward
-        seq = np.concatenate([self.last_tok[:, None], draft_toks], axis=1)
-        tpos = self.pos[:, None] + np.arange(g + 1)[None, :]
-        tgt, self.cache = self._verify_step(
-            self.params, self.cache, jnp.asarray(seq),
-            jnp.asarray(tpos.astype(np.int32)), act, kv_window=window)
-        tgt = np.asarray(tgt)                       # (B, g+1)
-
-        # 3) per-slot accept longest agreeing prefix (+ target bonus)
+        # host half: per-slot emit of the accepted prefix + bonus token
         accs = []
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]
-            n_acc = 0
-            while (n_acc < g - 1
-                   and tgt[slot, n_acc] == draft_toks[slot, n_acc]):
-                n_acc += 1
+            n_acc = int(n_accs[slot])
             emitted = [int(t) for t in tgt[slot, :n_acc + 1]]
             accs.append(n_acc)
             self.spec_stats["proposed"] += g
