@@ -166,6 +166,10 @@ def main():
                    help="decode steps per host round-trip in --engine mode")
     p.add_argument("--new-tokens", type=int, default=128,
                    help="tokens generated per request in --engine mode")
+    p.add_argument("--kv-window", type=int, default=128,
+                   help="proxy mode: static attention window bucket (set "
+                        "to the engine's operating bucket, e.g. 256, for "
+                        "an apples-to-apples engine-vs-proxy comparison)")
     args = p.parse_args()
 
     cfg = llama.LlamaConfig.llama3_8b(max_seq_len=args.seq,
@@ -194,14 +198,15 @@ def main():
     def chain(n_steps, salt, params, cache, toks):
         def body(i, carry):
             cache, toks, acc = carry
-            pos = jnp.full((bs, 1), 16 + (i % 64), jnp.int32)  # steady state
+            # steady state inside the window bucket (pos < kv_window)
+            pos = jnp.full((bs, 1),
+                           (args.kv_window - 112) + (i % 64), jnp.int32)
             t_in = (toks + salt.astype(jnp.int32) + i) % cfg.vocab_size
-            # kv_window=128 covers the steady-state positions (<= 79) and
-            # routes attention through the fused decode kernel, like the
-            # serving engines do
+            # the window routes attention through the fused decode kernel,
+            # like the serving engines do
             logits, cache = llama.forward(params, t_in[:, None], cfg, cache,
                                           pos, fmt=args.format,
-                                          kv_window=128)
+                                          kv_window=args.kv_window)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
             return cache, nxt, acc + jnp.sum(nxt)
         _, _, acc = jax.lax.fori_loop(0, n_steps, body,
