@@ -49,11 +49,17 @@ PREFILL_BUCKETS = (16, 32, 64, 128, 256)
 PREFILL_CHUNK = PREFILL_BUCKETS[-1]
 
 
-def _bucket_len(n: int) -> int:
-    for b in PREFILL_BUCKETS:
+def _bucket_len(n: int, cap: Optional[int] = None) -> int:
+    """Smallest bucket >= n; with `cap` (a per-engine prefill_chunk), the
+    bucket set becomes the standard buckets below cap plus cap itself —
+    still O(len(PREFILL_BUCKETS)) compiled prefill programs."""
+    bs = list(PREFILL_BUCKETS)
+    if cap is not None:
+        bs = [b for b in bs if b < cap] + [cap]
+    for b in bs:
         if n <= b:
             return b
-    return PREFILL_BUCKETS[-1]
+    return bs[-1]
 
 
 @dataclasses.dataclass
@@ -119,7 +125,8 @@ class Engine:
                  fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
                  interpret: bool = False, forward_fn=None, cache=None,
                  top_k: int = 0, seed: int = 0,
-                 prefill_fmt: Optional[str] = None):
+                 prefill_fmt: Optional[str] = None,
+                 prefill_chunk: Optional[int] = None):
         """forward_fn(params, tokens (B, T), cache, pos (B, T)) ->
         (logits, new_cache) overrides the model forward — e.g.
         parallel.tp.make_tp_step for tensor-parallel serving (pass the
@@ -140,6 +147,13 @@ class Engine:
         self.B = max_batch
         self.fmt = fmt
         self.prefill_fmt = prefill_fmt or fmt
+        # chunk admission size: w4a8 prefill defaults to 512 — the int8
+        # MXU path's measured crossover vs nvfp4 is m ~= 384 (STATUS_r3),
+        # so 256-token chunks would LOSE to nvfp4 prefill
+        if prefill_chunk is None and self.prefill_fmt == "w4a8":
+            prefill_chunk = 512
+        self.prefill_chunk = (min(prefill_chunk, cfg.max_seq_len)
+                              if prefill_chunk else None)
         self.interpret = interpret
         self.top_k = top_k
         self._key = jax.random.PRNGKey(seed)
@@ -293,9 +307,10 @@ class Engine:
         tick, so decode latency never spikes on long-prompt admission."""
         job = self._pf[0]
         toks = np.asarray(job.req.tokens)
-        chunk = toks[job.offset:job.offset + PREFILL_CHUNK]
+        cap = self.prefill_chunk or PREFILL_CHUNK
+        chunk = toks[job.offset:job.offset + cap]
         n = len(chunk)
-        lb = _bucket_len(n)
+        lb = _bucket_len(n, self.prefill_chunk)
         padded = np.zeros(lb, np.int32)
         padded[:n] = chunk
         pos = job.offset + jnp.arange(lb, dtype=jnp.int32)[None, :]
@@ -711,7 +726,8 @@ class PagedEngine(Engine):
                  fmt: str = "nvfp4", page_size: int = 256,
                  num_pages: Optional[int] = None, cache_dtype=jnp.bfloat16,
                  interpret: bool = False, top_k: int = 0, seed: int = 0,
-                 prefill_fmt: Optional[str] = None):
+                 prefill_fmt: Optional[str] = None,
+                 prefill_chunk: Optional[int] = None):
         from . import paged  # local import: keeps serving importable alone
         self._paged = paged
         page_size = min(page_size, cfg.max_seq_len)  # match init_paged_cache
@@ -720,6 +736,10 @@ class PagedEngine(Engine):
         self.B = max_batch
         self.fmt = fmt
         self.prefill_fmt = prefill_fmt or fmt
+        if prefill_chunk is None and self.prefill_fmt == "w4a8":
+            prefill_chunk = 512   # int8-MXU crossover (see Engine)
+        self.prefill_chunk = (min(prefill_chunk, cfg.max_seq_len)
+                              if prefill_chunk else None)
         if self.prefill_fmt != fmt and \
                 not {fmt, self.prefill_fmt} <= {"nvfp4", "w4a8"}:
             raise ValueError(

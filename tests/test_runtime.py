@@ -51,11 +51,24 @@ def test_native_repack_rejects_bad_shape(lib):
 
 
 def test_native_repack_is_fast(lib):
-    """Llama-70B single-projection scale: (8192, 8192) nibbles in < 1s."""
+    """Llama-70B single-projection scale: (8192, 8192) nibbles at load
+    time. The bound is LOAD-RELATIVE: a fixed wall-clock bound flakes on
+    shared 1-vCPU CI hosts (measured 0.9 s idle, 3.3-11.6 s when the full
+    suite runs concurrently) — so yardstick against same-size numpy
+    traffic, which inflates proportionally under the same contention.
+    Catches algorithmic regressions (an O(n*k) scalar fallback is
+    hundreds of x the yardstick), not scheduler noise."""
     n, k = 8192, 8192
     qw = np.zeros((n, k // 2), np.uint8)
     runtime.repack_fp4_native(qw, 512, 512)  # warm threads
     t0 = time.perf_counter()
+    base = qw.copy() + 1   # one read+write pass over the same 32 MB
+    t_copy = time.perf_counter() - t0
+    del base
+    t0 = time.perf_counter()
     runtime.repack_fp4_native(qw, n, k)
     dt = time.perf_counter() - t0
-    assert dt < 2.0, f"native repack too slow: {dt:.2f}s for 32 MB"
+    bound = max(2.0, 40 * t_copy)
+    assert dt < bound, (f"native repack too slow: {dt:.2f}s for 32 MB "
+                        f"(yardstick copy {t_copy * 1e3:.0f} ms, "
+                        f"bound {bound:.1f}s)")

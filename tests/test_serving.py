@@ -486,3 +486,20 @@ def test_engine_prefill_fmt_w4a8(setup):
         serving.Engine(qp, cfg, fmt="mxfp4", prefill_fmt="w4a8")
     with pytest.raises(ValueError):
         serving.PagedEngine(qp, cfg, fmt="mxfp4", prefill_fmt="w4a8")
+
+
+def test_prefill_chunk_knob(setup):
+    """Per-engine prefill_chunk (regime knob for w4a8 prefill, which only
+    beats nvfp4 at chunks >= ~384): token streams must be identical to the
+    default-chunk engine for chunked and unchunked prompts alike."""
+    cfg, params = setup
+    long_prompt = np.tile(_PROMPTS[0], 8)[:40].astype(np.int32)
+    reqs = lambda: [
+        serving.Request(uid=0, tokens=long_prompt, max_new_tokens=6),
+        serving.Request(uid=1, tokens=_PROMPTS[1], max_new_tokens=6)]
+    want = serving.Engine(params, cfg, max_batch=2).run(reqs())
+    got = serving.Engine(params, cfg, max_batch=2,
+                         prefill_chunk=16).run(reqs())
+    assert got == want
+    eng = serving.Engine(params, cfg, max_batch=2, prefill_chunk=16)
+    assert eng.prefill_chunk == 16
