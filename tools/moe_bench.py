@@ -141,7 +141,12 @@ def main():
                 tokens=rng.integers(0, cfg.vocab_size, 16).astype(np.int32),
                 max_new_tokens=n_new) for i in range(bs)]
 
-        eng.run(reqs(2 * args.decode_block), decode_block=args.decode_block)
+        # warm with the SAME token count as the timed run: block programs
+        # key on (steps, kv_window bucket), and a different warm-run token
+        # count leaves the timed run's (steps, window) pair cold — one 16L
+        # MoE Mosaic compile (~1 min) inside the timed region read as
+        # 9 tok/s (serve_bench had the identical bug)
+        eng.run(reqs(args.new_tokens), decode_block=args.decode_block)
         eng.reset()
         t0 = time.perf_counter()
         out = eng.run(reqs(args.new_tokens),
