@@ -38,7 +38,9 @@ class PagedKVCache:
     a page that was released and re-allocated to another sequence.
     """
     pages: List[Tuple[jax.Array, jax.Array]]   # per layer (k, v):
-    #   (num_pages + 1, page_size, n_kv, d)
+    #   (num_pages + 1, n_kv, page_size, d) — "headed" layout: positions
+    #   second-minor so the fp8 SWAR upcast's u8->u32 bitcast pairs KV
+    #   POSITIONS, not heads (ops/kernels/attention._upcast_f8_swar)
     block_tables: jax.Array                     # (B, max_pages) int32
     page_size: int
     num_pages: int                              # allocatable (excl. scratch)
@@ -67,7 +69,7 @@ def init_paged_cache(cfg: llama.LlamaConfig, batch: int, *,
     if num_pages is None:  # enough for every slot at max_seq_len
         num_pages = batch * (cfg.max_seq_len // page_size)
     max_pages = cfg.max_seq_len // page_size
-    shape = (num_pages + 1, page_size, cfg.num_kv_heads, cfg.head_dim)
+    shape = (num_pages + 1, cfg.num_kv_heads, page_size, cfg.head_dim)
     pages = [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
              for _ in range(cfg.num_layers)]
     return PagedKVCache(
@@ -105,9 +107,10 @@ def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size,
     """Scatter one step's k/v (B, T, h, d) into the pools at positions
     pos (B, T) using block-table rows bt_rows (B, max_pages).
 
-    One flat scatter per pool (not a dynamic_update_slice per token): the
-    (page, offset) pair is a single row index into the pool viewed as
-    (num_pages * page_size, h, d), so XLA emits one vectorized scatter.
+    One flat scatter per pool (not a dynamic_update_slice per token): in
+    the headed (P, h, ps, d) layout each (token, head) pair is one row
+    index into the pool viewed as (P * h * ps, d), so XLA emits one
+    vectorized scatter over a (B*T, h) index array.
 
     write_mask (B,) bool: rows with False get their writes redirected to
     the scratch page (last physical page) — a mid-prefill slot swept along
@@ -115,19 +118,23 @@ def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size,
     """
     k_pages, v_pages = pages_kv
     B, T = pos.shape
+    nh = k_pages.shape[1]
     page_idx = jnp.take_along_axis(bt_rows, pos // page_size, axis=1)
-    flat_idx = (page_idx * page_size + pos % page_size).reshape(-1)
     if write_mask is not None:
-        scratch_flat = (k_pages.shape[0] - 1) * page_size  # scratch pg, off 0
-        mask_flat = jnp.repeat(write_mask, T)
-        flat_idx = jnp.where(mask_flat, flat_idx, scratch_flat)
+        scratch = k_pages.shape[0] - 1
+        page_idx = jnp.where(write_mask[:, None], page_idx, scratch)
+        pos = jnp.where(write_mask[:, None], pos, 0)
+    # (B*T, h) row ids into the (P*h*ps, d) view
+    row_idx = ((page_idx.reshape(-1)[:, None] * nh
+                + jnp.arange(nh, dtype=jnp.int32)[None, :]) * page_size
+               + (pos % page_size).reshape(-1)[:, None])
 
     def write_one(pages, new):
-        P, ps, h, d = pages.shape
-        flat = pages.reshape(P * ps, h, d)
-        flat = flat.at[flat_idx].set(
+        P, h, ps, d = pages.shape
+        flat = pages.reshape(P * h * ps, d)
+        flat = flat.at[row_idx].set(
             new.reshape(B * T, h, d).astype(pages.dtype))
-        return flat.reshape(P, ps, h, d)
+        return flat.reshape(P, h, ps, d)
 
     return write_one(k_pages, new_k), write_one(v_pages, new_v)
 
@@ -169,12 +176,14 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
         nb = min(-(-kv_window // page_size), bt_rows.shape[1])
         o = attn_mod.paged_decode_attention(
             q.reshape(B, nq, d), k_pages, v_pages, bt_rows, pos[:, 0],
-            nb=nb, page_size=page_size, interpret=interpret)
+            nb=nb, page_size=page_size, interpret=interpret, headed=True)
         o = o.reshape(B, T, nq * d).astype(x.dtype)
         return lin(o, lp["wo"]), new_pages
-    # gather each sequence's pages -> (B, S_view, nkv, d)
-    k_all = k_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
-    v_all = v_pages[bt_rows].reshape(B, -1, nkv, d).astype(x.dtype)
+    # gather each sequence's pages (headed (P,h,ps,d)) -> (B, S_view, nkv, d)
+    k_all = k_pages[bt_rows].transpose(0, 1, 3, 2, 4).reshape(
+        B, -1, nkv, d).astype(x.dtype)
+    v_all = v_pages[bt_rows].transpose(0, 1, 3, 2, 4).reshape(
+        B, -1, nkv, d).astype(x.dtype)
     S = k_all.shape[1]
     # per-query causal mask (see llama.attention): (B,1,T,S)
     kv_pos = jnp.arange(S)[None, None, :]

@@ -38,6 +38,133 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# fp8(E4M3) -> bf16 SWAR upcast constants (per 16-bit half of a u32 lane)
+_F8_PAYLOAD = np.uint32(0x007F007F)   # exp|mantissa bits of even bytes
+_F8_SIGN = np.uint32(0x00800080)      # sign bits of even bytes
+_F8_EXP = np.uint32(0x00780078)       # exponent field (bits 3..6)
+_F8_BIAS = np.uint32(0x3C003C00)      # (127-7) << 7 bias delta per half
+_F8_BIT7 = np.uint32(0x00800080)
+
+
+def _upcast_f8_swar(blk: jax.Array):
+    """float8_e4m3fn (Hkv, ps, d) -> two bf16 (Hkv, ps/2, d) arrays with NO
+    Mosaic relayout: (even, odd) where even[:, j] is position 2j and
+    odd[:, j] is position 2j+1 of the input block.
+
+    The direct `astype(bf16)` of an fp8 block is a lane-widening relayout
+    measured at 5x the whole bf16 kernel (docs/DESIGN.md). Instead: bitcast
+    the block to u32 (four fp8 positions per lane — positions must be
+    second-minor, hence the headed (P, Hkv, ps, d) pool layout), build bf16
+    bits for the even and odd bytes in the integer SWAR domain, and bitcast
+    each back to bf16 (splitting the position axis in half). e4m3->bf16 is
+    exact bit surgery for normals:
+
+        bf16 = sign<<8 | ((b & 0x7F) << 4) + (120 << 7)
+
+    (fp8 bias 7 -> bf16 bias 127). Zeros and subnormals (exp field 0) are
+    flushed to +-0 via the same carry-flag trick as the GEMM decode
+    (fused.py): max abs error 7*2^-9 ~= 0.0137, below fp8's own
+    quantization noise at that magnitude. e4m3fn NaN (0x7F) would decode
+    to 480.0 — KV never contains NaN by the write contract.
+
+    Bitcast pairing semantics (u8 rows 4r..4r+3 -> u32 row r bytes 0..3;
+    u32 row r -> bf16 rows 2r=low half, 2r+1=high half) verified identical
+    in interpret mode and on v5e hardware (2026-08, this repo's probe).
+    """
+    w = pltpu.bitcast(blk, jnp.uint32)            # (Hkv, ps/4, d)
+
+    def halves(v):
+        p = v & _F8_PAYLOAD
+        s = (v & _F8_SIGN) << np.uint32(8)
+        c = ((p & _F8_EXP) + _F8_EXP) & _F8_BIT7  # bit7/half: exp != 0
+        msk = (c >> np.uint32(7)) * np.uint32(0xFFFF)
+        bits = (((p << np.uint32(4)) + _F8_BIAS) & msk) | s
+        return pltpu.bitcast(bits, jnp.bfloat16)  # (Hkv, ps/2, d)
+
+    return halves(w), halves(w >> np.uint32(8))
+
+
+def _decode_kernel_headed(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
+                          lg_ref, acc_ref, m_ref, l_ref, *, nb: int,
+                          page_size: int, sm_scale: float, hkv: int,
+                          gp: int, swar: bool):
+    """_decode_kernel over the headed (P, Hkv, ps, d) pool layout.
+
+    bf16 pools: numerically identical to _decode_kernel (same dots, the
+    per-head KV slice is leading-axis instead of strided). fp8 pools with
+    swar=True ride _upcast_f8_swar: KV positions arrive even/odd-permuted,
+    which is free for attention — logits columns permute, the causal mask
+    uses the permuted position iota, and p @ V contracts over the permuted
+    axis exactly (both K and V use the same permutation).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    hp = page_size // 2
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(i * page_size <= pos_ref[b])
+    def _attend():
+        kb, vb = k_ref[0], v_ref[0]                  # (Hkv, ps, d)
+        if swar:
+            ke, ko = _upcast_f8_swar(kb)
+            ve, vo = _upcast_f8_swar(vb)
+            for h in range(hkv):
+                rows = slice(h * gp, (h + 1) * gp)
+                lg_ref[rows, :hp] = jax.lax.dot_general(
+                    q_ref[0, h], ke[h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                lg_ref[rows, hp:] = jax.lax.dot_general(
+                    q_ref[0, h], ko[h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            if kb.dtype != jnp.bfloat16:   # rare-shape fp8 fallback
+                kb = kb.astype(jnp.bfloat16)
+                vb = vb.astype(jnp.bfloat16)
+            for h in range(hkv):
+                lg_ref[h * gp:(h + 1) * gp] = jax.lax.dot_general(
+                    q_ref[0, h], kb[h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        logits = lg_ref[:] * sm_scale                # (Hkv*Gp, ps)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        if swar:
+            # column c: position 2c for c < ps/2, else 2(c-ps/2)+1
+            kv_off = jnp.where(col < hp, 2 * col, 2 * col - page_size + 1)
+        else:
+            kv_off = col
+        logits = jnp.where(i * page_size + kv_off <= pos_ref[b],
+                           logits, _NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = m_new
+        for h in range(hkv):
+            rows = slice(h * gp, (h + 1) * gp)
+            if swar:
+                acc_ref[rows] = (
+                    acc_ref[rows] * alpha[rows]
+                    + jnp.dot(p[rows, :hp], ve[h].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(p[rows, hp:], vo[h].astype(jnp.float32),
+                              preferred_element_type=jnp.float32))
+            else:
+                acc_ref[rows] = acc_ref[rows] * alpha[rows] + jnp.dot(
+                    p[rows], vb[h].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+
+    @pl.when(i == nb - 1)
+    def _epilogue():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(o_ref.shape[1:]).astype(
+            o_ref.dtype)
+
 
 def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
                    lg_ref, acc_ref, m_ref, l_ref, *, nb: int,
@@ -106,16 +233,22 @@ def _decode_kernel(bt_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
             o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "page_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "page_size", "interpret",
+                                             "headed"))
 def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, block_tables: jax.Array,
                            pos: jax.Array, *, nb: int, page_size: int,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           headed: bool = False) -> jax.Array:
     """One-token-per-sequence attention over paged KV.
 
     q            : (B, H, d)   current-step queries (post-RoPE)
-    k_pages      : (P, ps, Hkv, d) page pool (bf16 or float8_e4m3fn)
-    v_pages      : (P, ps, Hkv, d)
+    k_pages      : (P, ps, Hkv, d) page pool (bf16 or float8_e4m3fn), or
+                   (P, Hkv, ps, d) with headed=True — the layout the paged
+                   engines use, required for the fp8 SWAR upcast (positions
+                   must be second-minor for the u8->u32 bitcast pairing,
+                   see _upcast_f8_swar)
+    v_pages      : same shape/layout as k_pages
     block_tables : (B, max_pages) int32 page ids (>= nb columns)
     pos          : (B,) int32 absolute position of each query
     nb           : page blocks to visit (static) — callers pass the batch
@@ -125,7 +258,10 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     """
     interpret = interpret or jax.default_backend() == "cpu"
     B, H, d = q.shape
-    P, ps, Hkv, dk = k_pages.shape
+    if headed:
+        P, Hkv, ps, dk = k_pages.shape
+    else:
+        P, ps, Hkv, dk = k_pages.shape
     assert dk == d and ps == page_size and H % Hkv == 0
     assert block_tables.shape[0] == B and block_tables.shape[1] >= nb
     G = H // Hkv
@@ -135,8 +271,23 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
 
     sm_scale = 1.0 / np.sqrt(d)
-    kernel = functools.partial(_decode_kernel, nb=nb, page_size=ps,
-                               sm_scale=sm_scale, hkv=Hkv, gp=Gp)
+    if headed:
+        # SWAR fp8 path needs ps % 4 (u32 pairing) and, on hardware,
+        # half-page lane slices % 128; otherwise astype fallback in-kernel
+        swar = (k_pages.dtype == jnp.float8_e4m3fn and ps % 4 == 0
+                and (interpret or (ps // 2) % 128 == 0))
+        kernel = functools.partial(_decode_kernel_headed, nb=nb,
+                                   page_size=ps, sm_scale=sm_scale,
+                                   hkv=Hkv, gp=Gp, swar=swar)
+        kv_spec = lambda b, i, bt, pos: (
+            bt[b, jnp.minimum(i, pos[b] // ps)], 0, 0, 0)
+        kv_block = (1, Hkv, ps, d)
+    else:
+        kernel = functools.partial(_decode_kernel, nb=nb, page_size=ps,
+                                   sm_scale=sm_scale, hkv=Hkv, gp=Gp)
+        kv_spec = lambda b, i, bt, pos: (
+            bt[b, jnp.minimum(i, pos[b] // ps)], 0, 0, 0)
+        kv_block = (1, ps, Hkv, d)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -149,14 +300,8 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
                 # beyond its length re-map the same block, and Pallas
                 # skips the HBM copy when the mapped block repeats —
                 # ragged batches pay per-sequence traffic, not batch-max
-                pl.BlockSpec((1, ps, Hkv, d),
-                             lambda b, i, bt, pos: (
-                                 bt[b, jnp.minimum(i, pos[b] // ps)],
-                                 0, 0, 0)),
-                pl.BlockSpec((1, ps, Hkv, d),
-                             lambda b, i, bt, pos: (
-                                 bt[b, jnp.minimum(i, pos[b] // ps)],
-                                 0, 0, 0)),
+                pl.BlockSpec(kv_block, kv_spec),
+                pl.BlockSpec(kv_block, kv_spec),
             ],
             out_specs=pl.BlockSpec((1, Hkv, Gp, d),
                                    lambda b, i, bt, pos: (b, 0, 0, 0)),

@@ -91,6 +91,91 @@ def test_decode_attention_fp8_kv():
                                rtol=5e-2, atol=5e-2)
 
 
+def test_decode_attention_headed_bf16_matches_legacy_layout():
+    """Headed (P,Hkv,ps,d) pool = same numerics as the (P,ps,Hkv,d) path."""
+    B, S, hkv, h, d, ps = 2, 256, 2, 8, 128, 128
+    rng = np.random.default_rng(7)
+    k = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    pos = jnp.asarray([255, 100], jnp.int32)
+    per = S // ps
+    bt = jnp.asarray(np.arange(B * per, dtype=np.int32).reshape(B, per))
+    kp = jnp.asarray(k.reshape(B * per, ps, hkv, d), jnp.bfloat16)
+    vp = jnp.asarray(v.reshape(B * per, ps, hkv, d), jnp.bfloat16)
+    legacy = attn.paged_decode_attention(q, kp, vp, bt, pos, nb=per,
+                                         page_size=ps, interpret=True)
+    headed = attn.paged_decode_attention(
+        q, kp.transpose(0, 2, 1, 3), vp.transpose(0, 2, 1, 3), bt, pos,
+        nb=per, page_size=ps, interpret=True, headed=True)
+    np.testing.assert_array_equal(np.asarray(legacy, np.float32),
+                                  np.asarray(headed, np.float32))
+
+
+def test_decode_attention_headed_fp8_swar():
+    """The SWAR fp8 upcast path vs the exact-upcast oracle.
+
+    Values are scaled into e4m3's normal range so the SWAR subnormal flush
+    is not exercised (covered separately below); the kernel's only other
+    deviation from the astype path is bf16 dot rounding, within the usual
+    attention tolerance.
+    """
+    B, S, hkv, h, d, ps = 2, 512, 2, 8, 128, 256
+    rng = np.random.default_rng(11)
+    k = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((B, S, hkv, d)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    pos = jnp.asarray([511, 70], jnp.int32)
+    per = S // ps
+    bt = jnp.asarray(np.arange(B * per, dtype=np.int32).reshape(B, per))
+    k8 = jnp.asarray(k.reshape(B * per, ps, hkv, d),
+                     jnp.float8_e4m3fn).transpose(0, 2, 1, 3)
+    v8 = jnp.asarray(v.reshape(B * per, ps, hkv, d),
+                     jnp.float8_e4m3fn).transpose(0, 2, 1, 3)
+    out = attn.paged_decode_attention(q, k8, v8, bt, pos, nb=per,
+                                      page_size=ps, interpret=True,
+                                      headed=True)
+    k8v = np.asarray(k8.transpose(0, 2, 1, 3), np.float32).reshape(
+        B, S, hkv, d)
+    v8v = np.asarray(v8.transpose(0, 2, 1, 3), np.float32).reshape(
+        B, S, hkv, d)
+    want = _naive(q, k8v, v8v, pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_upcast_f8_swar_bit_exact_for_normals():
+    """_upcast_f8_swar is bit-exact vs astype for every normal e4m3 byte
+    and flushes zero/subnormal bytes (exp field 0) to signed zero."""
+    from jax.experimental import pallas as pl
+
+    allb = np.arange(256, dtype=np.uint8)
+    # lay every byte value out along the position axis: (1, 256, 128)
+    blk = np.broadcast_to(allb[None, :, None], (1, 256, 128)).copy()
+
+    def kk(x_ref, oe_ref, oo_ref):
+        e, o = attn._upcast_f8_swar(x_ref[:])
+        oe_ref[:] = e
+        oo_ref[:] = o
+
+    e, o = pl.pallas_call(
+        kk,
+        out_shape=(jax.ShapeDtypeStruct((1, 128, 128), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((1, 128, 128), jnp.bfloat16)),
+        interpret=True)(jax.lax.bitcast_convert_type(
+            jnp.asarray(blk), jnp.float8_e4m3fn))
+    got = np.zeros(256, np.float32)
+    got[0::2] = np.asarray(e, np.float32)[0, :, 0]
+    got[1::2] = np.asarray(o, np.float32)[0, :, 0]
+    exact = np.asarray(jax.lax.bitcast_convert_type(
+        jnp.asarray(allb), jnp.float8_e4m3fn).astype(jnp.float32))
+    is_sub = (allb & 0x78) == 0          # exp field 0: zero or subnormal
+    is_nan = (allb & 0x7F) == 0x7F       # e4m3fn NaN
+    check = ~(is_sub | is_nan)
+    np.testing.assert_array_equal(got[check], exact[check])
+    np.testing.assert_array_equal(got[is_sub], np.zeros(is_sub.sum()))
+
+
 def test_bucket():
     assert attn.pow2_bucket(1) == 1 and attn.pow2_bucket(3) == 4
     assert attn.pow2_bucket(16) == 16 and attn.pow2_bucket(17) == 32
