@@ -287,14 +287,23 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
     k = rope(k, pos, cfg.rope_theta)
 
     if cache is not None:
-        ck, cv = cache  # (B, S, nkv, d)
+        ck, cv = cache  # (B, S, nkv, d) flat, or (B, nkv, S, d) headed
+        headed = cache_is_headed(ck, cfg)
         # per-sequence write offset: slots in a continuously-batched decode
-        # step sit at different positions
+        # step sit at different positions. headed caches write the
+        # transposed (nkv, T, d) slice at (0, pos, 0).
+        kw = k.transpose(0, 2, 1, 3) if headed else k   # per-row new KV
+        vw = v.transpose(0, 2, 1, 3) if headed else v
+        at = (0, 1, 0) if headed else (1, 0, 0)  # T-axis selector
+
+        def start(s):
+            return tuple(s if a else 0 for a in at)
+
         if write_mask is None:
             upd = jax.vmap(lambda c, new, s: jax.lax.dynamic_update_slice(
-                c, new, (s, 0, 0)))
-            ck = upd(ck, k.astype(ck.dtype), pos[:, 0])
-            cv = upd(cv, v.astype(cv.dtype), pos[:, 0])
+                c, new, start(s)))
+            ck = upd(ck, kw.astype(ck.dtype), pos[:, 0])
+            cv = upd(cv, vw.astype(cv.dtype), pos[:, 0])
         else:
             # masked write: rows with write_mask[b]=False keep their cache
             # content bit-exactly (a mid-prefill slot swept along in a
@@ -302,27 +311,28 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
             # already-written prompt KV overwritten with garbage). Restoring
             # the old T-slice per row costs O(B*T*h*d) — no full-cache copy.
             def upd1(c, new, s, a):
-                old = jax.lax.dynamic_slice(c, (s, 0, 0), new.shape)
+                old = jax.lax.dynamic_slice(c, start(s), new.shape)
                 return jax.lax.dynamic_update_slice(
-                    c, jnp.where(a, new, old), (s, 0, 0))
+                    c, jnp.where(a, new, old), start(s))
             upd = jax.vmap(upd1)
-            ck = upd(ck, k.astype(ck.dtype), pos[:, 0], write_mask)
-            cv = upd(cv, v.astype(cv.dtype), pos[:, 0], write_mask)
+            ck = upd(ck, kw.astype(ck.dtype), pos[:, 0], write_mask)
+            cv = upd(cv, vw.astype(cv.dtype), pos[:, 0], write_mask)
         new_cache = (ck, cv)
-        S = ck.shape[1]
+        S = ck.shape[2] if headed else ck.shape[1]
         # Mosaic needs the head_dim lane axis % 128 on real TPU (interpret
         # mode has no such constraint; tiny test configs use d=64)
         kernel_ok = (d % 128 == 0 or interpret
                      or jax.default_backend() == "cpu")
         if kv_window is not None and T == 1 and S % 128 == 0 and kernel_ok:
             # fused decode attention: no (B,H,1,S) materialization, reads
-            # only ceil(kv_window/128) pages of KV (ops/kernels/attention),
-            # FP8 cache upcast inside the kernel
+            # only ceil(kv_window/128) pages of KV (ops/kernels/attention).
+            # headed caches (fp8 default) ride the SWAR integer upcast
             from ..ops.kernels import attention as attn_mod
             nb = min(-(-kv_window // 128), S // 128)
-            o = attn_mod.decode_attention_contiguous(
-                q.reshape(B, nq, d), ck, cv, pos[:, 0], nb=nb,
-                page_size=128, interpret=interpret)
+            dec = (attn_mod.decode_attention_contiguous_headed if headed
+                   else attn_mod.decode_attention_contiguous)
+            o = dec(q.reshape(B, nq, d), ck, cv, pos[:, 0], nb=nb,
+                    page_size=128, interpret=interpret)
             o = o.reshape(B, T, nq * d).astype(x.dtype)
             return lin(o, lp["wo"]), new_cache
         if (kv_window is not None and T > 1 and S % 128 == 0 and kernel_ok
@@ -335,10 +345,14 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
             ns = min(-(-kv_window // 128), S // 128)
             o = attn_mod.flash_prefill_attention(
                 q, ck, cv, pos[:, 0], ns=ns, block_q=min(128, T),
-                interpret=interpret)
+                interpret=interpret, headed=headed)
             o = o.reshape(B, T, nq * d).astype(x.dtype)
             return lin(o, lp["wo"]), new_cache
-        k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
+        if headed:  # masked fallback consumes (B, S, nkv, d)
+            k_all = ck.transpose(0, 2, 1, 3).astype(x.dtype)
+            v_all = cv.transpose(0, 2, 1, 3).astype(x.dtype)
+        else:
+            k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
         # per-query causal mask against absolute positions: query at pos[b,t]
         # may attend kv slots <= pos[b,t] (a (B,1,1,S) mask keyed only on the
         # LAST position would let earlier prompt tokens see the future during
@@ -407,17 +421,35 @@ def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
     return logits, (new_cache if cache is not None else None)
 
 
-def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
+               headed: Optional[bool] = None):
     """KV cache. dtype may be jnp.float8_e4m3fn for FP8 KV (halves cache
-    HBM traffic/footprint; attention stores via direct cast and upcasts on
-    read — north-star config 5, BASELINE.json). bf16 default."""
-    return [
-        (jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim),
-                   dtype),
-         jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim),
-                   dtype))
-        for _ in range(cfg.num_layers)
-    ]
+    HBM traffic/footprint — north-star config 5, BASELINE.json).
+
+    FP8 caches default to the HEADED (B, Hkv, S, d) layout (positions
+    second-minor) so the decode kernel can upcast via the integer SWAR
+    path (ops/kernels/attention._upcast_f8_swar) instead of the Mosaic
+    lane-widening astype relayout measured at 5x the whole bf16 kernel;
+    bf16 stays (B, S, Hkv, d). Override with headed= if needed (e.g.
+    parallel.tp shards the head axis of the flat layout)."""
+    if headed is None:
+        headed = dtype == jnp.float8_e4m3fn
+    shape = ((batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
+             if headed else
+             (batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim))
+    return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(cfg.num_layers)]
+
+
+def cache_is_headed(ck, cfg: LlamaConfig) -> bool:
+    """Layout of a contiguous cache array: headed (B, Hkv, S, d) vs flat
+    (B, S, Hkv, d). Resolved from cfg; the ambiguous S == num_kv_heads
+    case resolves to flat (the legacy layout)."""
+    if ck.shape[2] == cfg.num_kv_heads and ck.shape[1] != cfg.num_kv_heads:
+        return False
+    if ck.shape[1] == cfg.num_kv_heads and ck.shape[2] != cfg.num_kv_heads:
+        return True
+    return False
 
 
 def greedy_decode(params, cfg: LlamaConfig, prompt_tokens, max_new: int, *,

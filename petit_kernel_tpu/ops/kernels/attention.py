@@ -360,6 +360,73 @@ def decode_attention_contiguous(q: jax.Array, ck: jax.Array, cv: jax.Array,
         nb=nb2, page_size=ps2, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("nb", "page_size", "interpret"))
+def decode_attention_contiguous_headed(q: jax.Array, ck: jax.Array,
+                                       cv: jax.Array, pos: jax.Array, *,
+                                       nb: int, page_size: int = 256,
+                                       interpret: bool = False) -> jax.Array:
+    """decode_attention_contiguous over a HEADED contiguous (B, Hkv, S, d)
+    cache — the fp8 SWAR layout (positions second-minor, so the u8->u32
+    bitcast in _upcast_f8_swar pairs KV POSITIONS) with no pool
+    indirection: the KV BlockSpec walks the S axis directly, clamped to
+    each slot's own length. bf16 caches work too (same dots as the flat
+    layout); fp8 caches ride the SWAR upcast instead of the Mosaic
+    lane-widening astype relayout measured at 5x the whole bf16 kernel
+    (docs/DESIGN.md)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    B, H, d = q.shape
+    Bk, Hkv, S, dk = ck.shape
+    assert dk == d and Bk == B and H % Hkv == 0
+    window = nb * page_size
+    ps = page_size
+    # fp8 SWAR needs (ps/2) % 128 on hardware: lift short-window buckets to
+    # a 256 block (the clamped index map keeps DMA at the slot's own
+    # length, so the overshoot costs masked compute only, never traffic)
+    if ck.dtype == jnp.float8_e4m3fn and not interpret and S % 256 == 0:
+        ps = max(ps, 256)
+    while ps < 512 and window % (ps * 2) == 0 and S % (ps * 2) == 0:
+        ps *= 2
+    nb2 = min(max(1, -(-window // ps)), S // ps)
+    assert S % ps == 0
+    G = H // Hkv
+    Gp = -(-G // 8) * 8
+    qr = q.reshape(B, Hkv, G, d)
+    if Gp != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    sm_scale = 1.0 / np.sqrt(d)
+    swar = (ck.dtype == jnp.float8_e4m3fn and ps % 4 == 0
+            and (interpret or (ps // 2) % 128 == 0))
+    kernel = functools.partial(_decode_kernel_headed, nb=nb2, page_size=ps,
+                               sm_scale=sm_scale, hkv=Hkv, gp=Gp, swar=swar)
+    kv_spec = lambda b, i, bt, pos: (b, 0, jnp.minimum(i, pos[b] // ps), 0)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nb2),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, Gp, d),
+                             lambda b, i, bt, pos: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, ps, d), kv_spec),
+                pl.BlockSpec((1, Hkv, ps, d), kv_spec),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, Gp, d),
+                                   lambda b, i, bt, pos: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv * Gp, ps), jnp.float32),
+                pltpu.VMEM((Hkv * Gp, d), jnp.float32),
+                pltpu.VMEM((Hkv * Gp, 1), jnp.float32),
+                pltpu.VMEM((Hkv * Gp, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(jnp.zeros((1,), jnp.int32), pos.astype(jnp.int32), qr, ck, cv)
+    return out[:, :, :G, :].reshape(B, H, d)
+
+
 def pow2_bucket(n: int, lo: int = 1) -> int:
     """Smallest power of two >= n (>= lo): the compile-count-bounding
     bucket for the static page-block axis (<= log2(max_seq/ps) programs)."""
@@ -377,7 +444,7 @@ def pow2_bucket(n: int, lo: int = 1) -> int:
 
 def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
                     acc_ref, m_ref, l_ref, *, ns: int, ts: int, tq: int,
-                    sm_scale: float, hkv: int):
+                    sm_scale: float, hkv: int, headed: bool = False):
     # grid (B, nt, ns); kv heads looped inside (see _decode_kernel note)
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -405,8 +472,8 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
             rows_sl = slice(h * G * tq, (h + 1) * G * tq)
             # bf16 MXU dots, f32 accumulation (see _decode_kernel note)
             q = q_ref[0, h].reshape(G * tq, d)             # bf16
-            k = kb[:, h, :]                                # (ts, d) bf16
-            v = vb[:, h, :]
+            k = kb[h] if headed else kb[:, h, :]           # (ts, d) bf16
+            v = vb[h] if headed else vb[:, h, :]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # (G*tq, ts)
@@ -435,17 +502,20 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("ns", "block_q", "block_s",
-                                             "interpret"))
+                                             "interpret", "headed"))
 def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
                             pos0: jax.Array, *, ns: int,
                             block_q: int = 128, block_s: int = 128,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            headed: bool = False) -> jax.Array:
     """Causal multi-token attention, flash-style (no (B,H,T,S) tensor).
 
     q    : (B, T, H, d) post-RoPE queries; query t's absolute position is
            pos0[b] + t (contiguous chunk — the chunked-prefill contract)
     ck/cv: (B, S, Hkv, d) contiguous KV (bf16 or fp8; the current chunk
-           must already be written in)
+           must already be written in), or (B, Hkv, S, d) with headed=True
+           (the fp8 SWAR cache layout; fp8 blocks upcast via astype here —
+           prefill is compute-bound, decode is where SWAR pays)
     pos0 : (B,) int32 chunk start positions
     ns   : static number of block_s KV blocks to visit (callers bucket
            ceil(max(pos0 + T)/block_s))
@@ -457,7 +527,10 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
     """
     interpret = interpret or jax.default_backend() == "cpu"
     B, T, H, d = q.shape
-    _, S, Hkv, dk = ck.shape
+    if headed:
+        _, Hkv, S, dk = ck.shape
+    else:
+        _, S, Hkv, dk = ck.shape
     assert dk == d and H % Hkv == 0 and S % block_s == 0
     G = H // Hkv
     tq = min(block_q, T)
@@ -466,8 +539,16 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
     qr = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, d)
     sm_scale = 1.0 / np.sqrt(d)
 
+    if headed:
+        kv_block = (1, Hkv, block_s, d)
+        kv_spec = lambda b, ti, si, p0: (
+            b, 0, jnp.minimum(si, (p0[b] + (ti + 1) * tq - 1) // block_s), 0)
+    else:
+        kv_block = (1, block_s, Hkv, d)
+        kv_spec = lambda b, ti, si, p0: (
+            b, jnp.minimum(si, (p0[b] + (ti + 1) * tq - 1) // block_s), 0, 0)
     kernel = functools.partial(_prefill_kernel, ns=ns, ts=block_s, tq=tq,
-                               sm_scale=sm_scale, hkv=Hkv)
+                               sm_scale=sm_scale, hkv=Hkv, headed=headed)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -479,16 +560,8 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
                 # clamp the KV block to the causal limit of this q block:
                 # above-diagonal steps re-map the same block and Pallas
                 # skips the copy (the kernel already compute-skips them)
-                pl.BlockSpec((1, block_s, Hkv, d),
-                             lambda b, ti, si, p0: (
-                                 b, jnp.minimum(
-                                     si, (p0[b] + (ti + 1) * tq - 1)
-                                     // block_s), 0, 0)),
-                pl.BlockSpec((1, block_s, Hkv, d),
-                             lambda b, ti, si, p0: (
-                                 b, jnp.minimum(
-                                     si, (p0[b] + (ti + 1) * tq - 1)
-                                     // block_s), 0, 0)),
+                pl.BlockSpec(kv_block, kv_spec),
+                pl.BlockSpec(kv_block, kv_spec),
             ],
             out_specs=pl.BlockSpec((1, Hkv, G, tq, d),
                                    lambda b, ti, si, p0: (b, 0, 0, ti, 0)),

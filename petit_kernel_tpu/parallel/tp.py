@@ -233,7 +233,9 @@ def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
                   dtype=jnp.bfloat16):
     """Per-layer (k, v) KV cache sharded on the head axis over "tp" and the
     batch axis over "dp" (one engine batch per dp shard uses batch=local)."""
-    cache = llama.init_cache(cfg, batch, dtype)
+    # flat layout pinned: _CACHE_SPEC shards the (B, S, nkv, d) head axis
+    # (fp8 TP caches take the in-kernel astype fallback, not SWAR)
+    cache = llama.init_cache(cfg, batch, dtype, headed=False)
     return [tuple(jax.device_put(t, NamedSharding(mesh, s))
                   for t, s in zip(layer, _CACHE_SPEC)) for layer in cache]
 

@@ -228,3 +228,57 @@ def test_flash_prefill_fp8_kv():
                           jnp.asarray(v8, jnp.float32), pos0)
     np.testing.assert_allclose(np.asarray(out, np.float32), want,
                                rtol=5e-2, atol=5e-2)
+
+
+def test_decode_contiguous_headed_bf16_matches_flat():
+    """Headed contiguous (B,Hkv,S,d) decode = the flat (B,S,Hkv,d) path."""
+    B, S, hkv, h, d = 3, 256, 2, 8, 128
+    rng = np.random.default_rng(13)
+    k = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, hkv, d)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    pos = jnp.asarray([5, 130, 255], jnp.int32)
+    flat = attn.decode_attention_contiguous(q, k, v, pos, nb=2,
+                                            page_size=128, interpret=True)
+    headed = attn.decode_attention_contiguous_headed(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos,
+        nb=2, page_size=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(flat, np.float32),
+                                  np.asarray(headed, np.float32))
+
+
+def test_decode_contiguous_headed_fp8_swar():
+    """fp8 headed contiguous decode (SWAR upcast) vs the exact oracle."""
+    B, S, hkv, h, d = 2, 512, 2, 8, 128
+    rng = np.random.default_rng(17)
+    k8 = jnp.asarray(rng.standard_normal((B, S, hkv, d)),
+                     jnp.float8_e4m3fn)
+    v8 = jnp.asarray(rng.standard_normal((B, S, hkv, d)),
+                     jnp.float8_e4m3fn)
+    q = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    pos = jnp.asarray([511, 70], jnp.int32)
+    out = attn.decode_attention_contiguous_headed(
+        q, k8.transpose(0, 2, 1, 3), v8.transpose(0, 2, 1, 3), pos,
+        nb=2, page_size=256, interpret=True)
+    want = _naive(q, np.asarray(k8, np.float32),
+                  np.asarray(v8, np.float32), pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "fp8"])
+def test_flash_prefill_headed_matches_flat(dtype):
+    B, T, S, hkv, h, d = 2, 64, 512, 2, 8, 128
+    rng = np.random.default_rng(19)
+    dt = jnp.bfloat16 if dtype == "bf16" else jnp.float8_e4m3fn
+    k = jnp.asarray(rng.standard_normal((B, S, hkv, d)), dt)
+    v = jnp.asarray(rng.standard_normal((B, S, hkv, d)), dt)
+    q = jnp.asarray(rng.standard_normal((B, T, h, d)), jnp.bfloat16)
+    pos0 = jnp.asarray([0, 100], jnp.int32)
+    flat = attn.flash_prefill_attention(q, k, v, pos0, ns=4, block_q=64,
+                                        interpret=True)
+    headed = attn.flash_prefill_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos0,
+        ns=4, block_q=64, interpret=True, headed=True)
+    np.testing.assert_array_equal(np.asarray(flat, np.float32),
+                                  np.asarray(headed, np.float32))

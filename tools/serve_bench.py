@@ -110,9 +110,11 @@ def run_engine_bench(args, cfg, params, rng, wbytes):
     bs = args.bs
     kv_dtype = (jnp.float8_e4m3fn if args.kv_dtype == "fp8"
                 else jnp.bfloat16)
-    eng = serving.Engine(params, cfg, max_batch=bs, fmt=args.format,
-                         cache_dtype=kv_dtype,
-                         prefill_fmt=args.prefill_fmt)
+    eng_cls = (serving.PagedEngine if args.backend == "paged"
+               else serving.Engine)
+    eng = eng_cls(params, cfg, max_batch=bs, fmt=args.format,
+                  cache_dtype=kv_dtype,
+                  prefill_fmt=args.prefill_fmt)
 
     def reqs(n_new):
         return [serving.Request(
@@ -135,7 +137,8 @@ def run_engine_bench(args, cfg, params, rng, wbytes):
     roofline_t = wbytes / (HBM_GBPS * 1e9)
     print(f"# ENGINE mode: {args.layers}L hidden={cfg.hidden_size} "
           f"fmt={args.format} bs={bs} decode_block={args.decode_block} "
-          f"new_tokens={args.new_tokens}")
+          f"new_tokens={args.new_tokens} backend={args.backend} "
+          f"kv={args.kv_dtype}")
     print(f"# engine tokens/s/chip={toks / dt:.1f}  per-token-step="
           f"{t_tok * 1e3:.2f} ms  weight-stream roofline="
           f"{roofline_t * 1e3:.2f} ms ({roofline_t / t_tok:.1%} of "
@@ -158,6 +161,11 @@ def main():
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "fp8"],
                    help="KV cache dtype (fp8 = float8_e4m3fn, upcast "
                         "inside the fused attention kernel)")
+    p.add_argument("--backend", default="contiguous",
+                   choices=["contiguous", "paged"],
+                   help="engine mode cache backend; paged is the headed "
+                        "(P,Hkv,ps,d) pool whose fp8 path rides the SWAR "
+                        "upcast (attention._upcast_f8_swar)")
     p.add_argument("--engine", action="store_true",
                    help="measure the ACTUAL serving engine (Engine.run "
                         "with multi-token decode blocks), not the "
