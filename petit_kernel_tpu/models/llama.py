@@ -434,6 +434,21 @@ def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
     parallel.tp shards the head axis of the flat layout)."""
     if headed is None:
         headed = dtype == jnp.float8_e4m3fn
+    if headed and cfg.max_seq_len == cfg.num_kv_heads:
+        # cache_is_headed resolves layout from shapes; S == Hkv would make
+        # a headed cache indistinguishable from flat (ADVICE r3) — reject
+        # at construction rather than silently attending transposed data
+        raise ValueError(
+            f"headed cache needs max_seq_len != num_kv_heads "
+            f"(both are {cfg.max_seq_len}); pad max_seq_len")
+    if (headed and dtype == jnp.float8_e4m3fn
+            and cfg.max_seq_len % 256 != 0):
+        import warnings
+        warnings.warn(
+            f"fp8 headed cache with max_seq_len={cfg.max_seq_len} % 256 != 0"
+            " cannot take the SWAR upcast path on hardware ((page/2) % 128"
+            " lane constraint) and falls back to the ~5x-slower in-kernel"
+            " astype; pad max_seq_len to a multiple of 256", stacklevel=2)
     shape = ((batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
              if headed else
              (batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim))

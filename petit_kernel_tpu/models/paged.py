@@ -179,6 +179,18 @@ def attention_paged(x, lp, pages_kv, bt_rows, pos, cfg, *, fmt,
             nb=nb, page_size=page_size, interpret=interpret, headed=True)
         o = o.reshape(B, T, nq * d).astype(x.dtype)
         return lin(o, lp["wo"]), new_pages
+    if (kv_window is not None and T > 1 and kernel_ok
+            and T % min(128, T) == 0):
+        # paged flash prefill: stream ceil(window/ps) pages per q block
+        # instead of gathering the whole (B, max_pages*ps, h, d) pool view
+        # (chunked-prefill contract: pos[b, t] = pos[b, 0] + t)
+        from ..ops.kernels import attention as attn_mod
+        ns = min(-(-kv_window // page_size), bt_rows.shape[1])
+        o = attn_mod.flash_prefill_paged(
+            q, k_pages, v_pages, bt_rows, pos[:, 0], ns=ns,
+            block_q=min(128, T), interpret=interpret)
+        o = o.reshape(B, T, nq * d).astype(x.dtype)
+        return lin(o, lp["wo"]), new_pages
     # gather each sequence's pages (headed (P,h,ps,d)) -> (B, S_view, nkv, d)
     k_all = k_pages[bt_rows].transpose(0, 1, 3, 2, 4).reshape(
         B, -1, nkv, d).astype(x.dtype)

@@ -501,6 +501,76 @@ def _prefill_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref,
             o_ref.dtype)
 
 
+def _prefill_kernel_paged(bt_ref, pos0_ref, *rest, **kw):
+    """_prefill_kernel with a leading block-table scalar ref (consumed by
+    the KV index maps only)."""
+    return _prefill_kernel(pos0_ref, *rest, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("ns", "block_q", "interpret"))
+def flash_prefill_paged(q: jax.Array, k_pages: jax.Array,
+                        v_pages: jax.Array, block_tables: jax.Array,
+                        pos0: jax.Array, *, ns: int, block_q: int = 128,
+                        interpret: bool = False) -> jax.Array:
+    """Causal flash prefill over PAGED KV (headed (P, Hkv, ps, d) pool).
+
+    Same online-softmax kernel as flash_prefill_attention, but the KV
+    BlockSpec walks the slot's block table instead of a contiguous S axis —
+    chunked paged admission streams ceil(window/ps) pages per q block
+    instead of gathering the full pool view (the round-3 paged prefill
+    materialized a (B, max_pages*ps, Hkv, d) gather AND a fresh pool copy
+    per chunk; VERDICT r3 #4). KV block size == page size.
+
+    q    : (B, T, H, d) post-RoPE; query t of row b sits at pos0[b] + t
+    ns   : static number of pages to visit (bucket ceil((pos0+T)/ps));
+           block-table entries beyond a row's causal limit are clamped to
+           its last causally-needed page (the copy is skipped when the
+           mapped block repeats, the kernel compute-skips it)
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    B, T, H, d = q.shape
+    P, Hkv, ps, dk = k_pages.shape
+    assert dk == d and H % Hkv == 0
+    assert block_tables.shape[0] == B and block_tables.shape[1] >= ns
+    G = H // Hkv
+    tq = min(block_q, T)
+    assert T % tq == 0
+    nt = T // tq
+    qr = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, d)
+    sm_scale = 1.0 / np.sqrt(d)
+
+    kv_spec = lambda b, ti, si, bt, p0: (
+        bt[b, jnp.minimum(si, (p0[b] + (ti + 1) * tq - 1) // ps)], 0, 0, 0)
+    kernel = functools.partial(_prefill_kernel_paged, ns=ns, ts=ps, tq=tq,
+                               sm_scale=sm_scale, hkv=Hkv, headed=True)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nt, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, tq, d),
+                             lambda b, ti, si, bt, p0: (b, 0, 0, ti, 0)),
+                pl.BlockSpec((1, Hkv, ps, d), kv_spec),
+                pl.BlockSpec((1, Hkv, ps, d), kv_spec),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, G, tq, d),
+                                   lambda b, ti, si, bt, p0: (b, 0, 0, ti, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv * G * tq, d), jnp.float32),
+                pltpu.VMEM((Hkv * G * tq, 1), jnp.float32),
+                pltpu.VMEM((Hkv * G * tq, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), pos0.astype(jnp.int32), qr,
+      k_pages, v_pages)
+    return out.reshape(B, H, T, d).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("ns", "block_q", "block_s",
                                              "interpret", "headed"))
 def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,

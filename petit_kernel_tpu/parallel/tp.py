@@ -171,12 +171,21 @@ def _params_spec(qparams):
     }
 
 
-# KV cache shards on the head axis, like the attention that produces it.
+# KV cache shards on the head axis, like the attention that produces it:
+# flat (B, S, Hkv, d) -> axis 2; headed (B, Hkv, S, d) -> axis 1 (the fp8
+# SWAR layout, llama.init_cache headed=True).
 _CACHE_SPEC = (P("dp", None, "tp", None), P("dp", None, "tp", None))
+_CACHE_SPEC_HEADED = (P("dp", "tp", None, None), P("dp", "tp", None, None))
+
+
+def _cache_specs(cache, cfg):
+    """Per-layer cache PartitionSpecs resolved from the cache layout."""
+    return [(_CACHE_SPEC_HEADED if llama.cache_is_headed(layer[0], cfg)
+             else _CACHE_SPEC) for layer in cache]
 
 
 def _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt,
-                   write_mask=None):
+                   write_mask=None, kv_window=None):
     """Device-local Megatron block: heads column-sharded, wo/down
     row-sharded, one psum per block. Reuses llama.attention/mlp with a
     per-shard head count, so the cached-decode path (continuous batching)
@@ -195,7 +204,7 @@ def _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt,
         h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, c = llama.attention(h, lp, None if cache is None else cache[i],
                                pos, cfg_l, mask, fmt=fmt, interpret=False,
-                               write_mask=write_mask)
+                               kv_window=kv_window, write_mask=write_mask)
         new_cache.append(c)
         x = x + jax.lax.psum(a, "tp")                 # row-parallel wo
         h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
@@ -230,14 +239,21 @@ def make_tp_forward(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
 
 
 def init_cache_tp(cfg: llama.LlamaConfig, batch: int, mesh: Mesh,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, headed: bool | None = None):
     """Per-layer (k, v) KV cache sharded on the head axis over "tp" and the
-    batch axis over "dp" (one engine batch per dp shard uses batch=local)."""
-    # flat layout pinned: _CACHE_SPEC shards the (B, S, nkv, d) head axis
-    # (fp8 TP caches take the in-kernel astype fallback, not SWAR)
-    cache = llama.init_cache(cfg, batch, dtype, headed=False)
+    batch axis over "dp" (one engine batch per dp shard uses batch=local).
+
+    Like llama.init_cache, fp8 caches default to the HEADED (B, Hkv, S, d)
+    layout — Hkv shards over "tp" exactly like the flat layout's head axis,
+    and each shard's decode attention rides the SWAR upcast (the kernels
+    take the per-shard hkv; round-3's flat-layout pin is gone). The
+    north-star 70B-TP8 + FP8-KV config serves through this path."""
+    if headed is None:
+        headed = dtype == jnp.float8_e4m3fn
+    cache = llama.init_cache(cfg, batch, dtype, headed=headed)
+    spec = _CACHE_SPEC_HEADED if headed else _CACHE_SPEC
     return [tuple(jax.device_put(t, NamedSharding(mesh, s))
-                  for t, s in zip(layer, _CACHE_SPEC)) for layer in cache]
+                  for t, s in zip(layer, spec)) for layer in cache]
 
 
 def mul_fp4_tp_rs(a: jax.Array, layer: dict, mesh: Mesh, size_k: int,
@@ -342,14 +358,15 @@ def make_tp_step(cfg: llama.LlamaConfig, mesh: Mesh, fmt: str = "nvfp4"):
     tp = mesh.shape["tp"]
     assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
 
-    def local(qparams, tokens, cache, pos, write_mask):
-        return _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt,
-                              write_mask=write_mask)
-
-    def step(qparams, tokens, cache, pos, write_mask=None):
+    def step(qparams, tokens, cache, pos, write_mask=None, kv_window=None):
         if write_mask is None:
             write_mask = jnp.ones(tokens.shape[0], bool)
-        cache_specs = [_CACHE_SPEC for _ in cache]
+
+        def local(qparams, tokens, cache, pos, write_mask):
+            return _local_forward(qparams, tokens, cache, pos, cfg, tp, fmt,
+                                  write_mask=write_mask, kv_window=kv_window)
+
+        cache_specs = _cache_specs(cache, cfg)
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(_params_spec(qparams), P("dp", None), cache_specs,

@@ -503,3 +503,51 @@ def test_prefill_chunk_knob(setup):
     assert got == want
     eng = serving.Engine(params, cfg, max_batch=2, prefill_chunk=16)
     assert eng.prefill_chunk == 16
+
+
+def test_engine_tp_fp8_headed_cache_matches_single_device(setup):
+    """TP engine with an FP8 HEADED KV cache (init_cache_tp default for
+    fp8: (B, Hkv, S, d) with Hkv sharded over "tp") == single-device fp8
+    engine — the north-star 70B-TP8 + FP8-KV config's sharding path
+    (VERDICT r3 #3: the round-3 flat-layout pin is gone; per-shard decode
+    attention rides the headed kernel with the shard's own hkv)."""
+    from jax.sharding import Mesh
+    from petit_kernel_tpu import parallel as par
+    from petit_kernel_tpu.parallel import tp as tp_mod
+
+    cfg, params = setup
+    reqs = lambda: [serving.Request(uid=i, tokens=np.arange(3 + i) % 50,
+                                    max_new_tokens=5) for i in range(2)]
+    qparams = llama.quantize_params(params, "nvfp4", fuse=False)
+    eng = serving.Engine(qparams, cfg, max_batch=2, fmt="nvfp4",
+                         cache_dtype=jnp.float8_e4m3fn, interpret=True)
+    want = eng.run(reqs())
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "tp"))
+    qtp = par.quantize_params_tp(params, cfg, mesh, fmt="nvfp4")
+    step = tp_mod.make_tp_step(cfg, mesh, fmt="nvfp4")
+    cache = tp_mod.init_cache_tp(cfg, 2, mesh, dtype=jnp.float8_e4m3fn)
+    # the fp8 default really is headed, sharded on the head axis
+    ck0 = cache[0][0]
+    assert ck0.shape == (2, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
+    eng_tp = serving.Engine(qtp, cfg, max_batch=2, forward_fn=step,
+                            cache=cache)
+    got = eng_tp.run(reqs())
+    assert set(got) == set(want)
+    # fp8 KV + per-shard quantization noise: require first-token agreement
+    for uid in want:
+        assert got[uid][0] == want[uid][0], (uid, got[uid], want[uid])
+
+
+def test_init_cache_headed_ambiguous_shape_rejected():
+    cfg = llama.LlamaConfig.tiny(max_seq_len=2, num_kv_heads=2)
+    with pytest.raises(ValueError, match="max_seq_len"):
+        llama.init_cache(cfg, 1, jnp.float8_e4m3fn)
+    # flat layout is fine at the same shape
+    llama.init_cache(cfg, 1, jnp.bfloat16)
+
+
+def test_init_cache_fp8_unaligned_seq_warns():
+    cfg = llama.LlamaConfig.tiny(max_seq_len=192)
+    with pytest.warns(UserWarning, match="SWAR"):
+        llama.init_cache(cfg, 1, jnp.float8_e4m3fn)

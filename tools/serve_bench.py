@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from petit_kernel_tpu.models import llama
+from petit_kernel_tpu.ops import autotune
 from petit_kernel_tpu.ops import layout as layout_mod
 
 HBM_GBPS = 750.0  # measured dense-GEMM ceiling on this v5e (docs/DESIGN.md)
@@ -180,6 +181,9 @@ def main():
                         "an apples-to-apples engine-vs-proxy comparison)")
     args = p.parse_args()
 
+    # tuned per-device solutions (the m=8/16 serve-projection entries in
+    # tuned/TPU_v5_lite.json); without this every GEMM takes the heuristic
+    autotune.load_table()
     cfg = llama.LlamaConfig.llama3_8b(max_seq_len=args.seq,
                                       vocab_size=32768,
                                       num_layers=args.layers)
