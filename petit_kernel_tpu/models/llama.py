@@ -218,14 +218,25 @@ def _fused_projections(lp: dict, fmt: str) -> dict:
 
 
 def quantize_params(params: dict, fmt: str = "nvfp4",
-                    min_k: int = 128, fuse: bool = True) -> dict:
+                    min_k: int = 128, fuse: bool = True,
+                    quant_head: bool = False) -> dict:
     """Quantize every projection weight to FP4 (embed/lm_head stay dense,
     like ModelOpt checkpoints the reference consumes, README.md:31). With
     fuse=True (default) wq|wk|wv and w_gate|w_up are concatenated along n
     before quantization — 4 kernel launches per layer instead of 7, and
-    the narrow kv projections ride the wide fused matmul."""
+    the narrow kv projections ride the wide fused matmul.
+
+    quant_head=True additionally quantizes lm_head (decode streams it
+    every step: a bf16 head is ~6% of the 8B-class weight stream; FP4
+    cuts that 3.2x). Off by default — ModelOpt checkpoints keep the head
+    dense, and head quantization is a distinct quality decision (gate it
+    with tools/quality_gate.py --quant-head before adopting)."""
     out = {"embed": params["embed"], "final_norm": params["final_norm"],
            "lm_head": params["lm_head"], "layers": []}
+    if quant_head:
+        hw = np.asarray(params["lm_head"]["w"], np.float32)
+        if hw.shape[0] % min_k == 0 and hw.shape[1] % 16 == 0:
+            out["lm_head"] = quantize_linear(hw, fmt)
     for lp in params["layers"]:
         quantizable = all(
             np.asarray(lp[n]["w"]).shape[0] % min_k == 0
@@ -253,22 +264,32 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
-    """x: (B, T, H, D), pos: (B, T) absolute positions."""
-    d = x.shape[-1]
+def _rope_angles(pos: jax.Array, d: int, theta: float):
+    """(cos, sin) each (B, T, 1, d/2) f32 for absolute positions pos (B, T).
+    Hoisted out of the per-layer rope: every layer (and q/k within a layer)
+    shares one pair of transcendental evaluations per forward."""
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-    ang = pos[..., None].astype(jnp.float32)[..., None, :] * 1.0  # (B,T,1,1)
     ang = pos[:, :, None, None].astype(jnp.float32) * freqs  # (B,T,1,d/2)
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rope_apply(x: jax.Array, cs) -> jax.Array:
+    """Interleaved-pair rotary application; x (B, T, H, D)."""
+    cos, sin = cs
     x1, x2 = x[..., ::2], x[..., 1::2]
     xr1 = x1 * cos - x2 * sin
     xr2 = x1 * sin + x2 * cos
     return jnp.stack([xr1, xr2], axis=-1).reshape(x.shape).astype(x.dtype)
 
 
+def rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
+    """x: (B, T, H, D), pos: (B, T) absolute positions."""
+    return _rope_apply(x, _rope_angles(pos, x.shape[-1], theta))
+
+
 def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
               kv_window: Optional[int] = None,
-              write_mask: Optional[jax.Array] = None):
+              write_mask: Optional[jax.Array] = None, rope_cs=None):
     B, T, H = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     lin = functools.partial(linear, fmt=fmt, interpret=interpret)
@@ -283,8 +304,13 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
         q = lin(x, lp["wq"]).reshape(B, T, nq, d)
         k = lin(x, lp["wk"]).reshape(B, T, nkv, d)
         v = lin(x, lp["wv"]).reshape(B, T, nkv, d)
-    q = rope(q, pos, cfg.rope_theta)
-    k = rope(k, pos, cfg.rope_theta)
+    # one fused rotary application over q||k (the per-head math is
+    # identical and elementwise, so concatenating the head axis halves the
+    # slice/stack op count); angles are hoisted per forward via rope_cs
+    if rope_cs is None:
+        rope_cs = _rope_angles(pos, d, cfg.rope_theta)
+    qk = _rope_apply(jnp.concatenate([q, k], axis=2), rope_cs)
+    q, k = qk[:, :, :nq], qk[:, :, nq:]
 
     if cache is not None:
         ck, cv = cache  # (B, S, nkv, d) flat, or (B, nkv, S, d) headed
@@ -406,12 +432,14 @@ def forward(params, tokens, cfg: LlamaConfig, cache=None, pos=None, *,
     if pos is None:
         pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    rope_cs = _rope_angles(pos, cfg.head_dim, cfg.rope_theta)
     new_cache = []
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
         a, c = attention(h, lp, None if cache is None else cache[i],
                          pos, cfg, mask, fmt=fmt, interpret=interpret,
-                         kv_window=kv_window, write_mask=write_mask)
+                         kv_window=kv_window, write_mask=write_mask,
+                         rope_cs=rope_cs)
         x = x + a
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_eps)
         x = x + mlp(h, lp, fmt=fmt, interpret=interpret)

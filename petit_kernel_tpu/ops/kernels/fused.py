@@ -473,6 +473,56 @@ def _fused_kernel_w4a8(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
                       * gs_ref[0, 0]).astype(out_ref.dtype)
 
 
+def _fused_kernel_w4a8_wc(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
+                          arow_ref, gs_ref, out_ref, acc_ref, bc_ref, *,
+                          nk: int):
+    """Weight-cache W4A8 variant: grid (nn, nm, nk). The first m-block of
+    each n-block decodes + requantizes this k-step's weights into the
+    k-resident int8 VMEM cache bc_ref (nk, 4, kb4, bn); later m-blocks run
+    int8 MXU dots straight off the cache. This amortizes the in-kernel
+    requant (decode, slab multiply, round, int8 convert — the reason W4A8
+    lost to dense below m~384, round-3 verdict #8) over ceil(m/bm) blocks
+    instead of paying it per block; the int8 cache is half the footprint
+    of the bf16 weight cache in _fused_kernel_wc."""
+    i = pl.program_id(1)
+    kk = pl.program_id(2)
+    kb4 = 2 * w_ref.shape[0]
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    r_refs = (r0, r1, r2, r3)
+
+    @pl.when(i == 0)
+    def _decode():
+        for j in range(4):
+            deq = decode_quarter(w_ref[:], j)
+            rq = r_refs[j][:]
+            for ch in range(kb4 // 128):
+                b = (deq[ch * 128:(ch + 1) * 128]
+                     * _chunk_scale_slab(rq, ch)).astype(jnp.float32)
+                bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = jax.lax.round(
+                    b, jax.lax.RoundingMethod.TO_NEAREST_EVEN
+                ).astype(jnp.int8)
+
+    a_refs = (a0, a1, a2, a3)
+    for j in range(4):
+        a = a_refs[j][:]
+        for ch in range(kb4 // 128):
+            acc_ref[:] += jax.lax.dot_general(
+                a[:, ch * 128:(ch + 1) * 128],
+                bc_ref[kk, j, ch * 128:(ch + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+    @pl.when(kk == nk - 1)
+    def _epilogue():
+        out_ref[:] = (acc_ref[:].astype(jnp.float32)
+                      * arow_ref[:] * acol_ref[:]
+                      * gs_ref[0, 0]).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("sid", "interpret", "out_dtype"))
 def fused_mul_w4a8(a: jax.Array, words: jax.Array, scales_t: jax.Array,
                    global_scale: jax.Array, *, sid: SolutionId,
@@ -527,41 +577,66 @@ def fused_mul_w4a8(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     kb4 = bk // 4
     srows = kb4 // 16
 
-    def a_map(j):
-        return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+    if sid.weight_cache:
+        # grid (nn, nm, nk): decode+requant once per weight block at the
+        # first m-block, int8 dots off the cache for the rest
+        def a_map(j):
+            return lambda nn_, i, kk_, j=j: (i, j * nk + kk_)
 
-    def s_map(j):
-        return lambda i, nn_, kk_, j=j: (j * nk + kk_, nn_)
+        def s_map(j):
+            return lambda nn_, i, kk_, j=j: (j * nk + kk_, nn_)
+
+        grid = (nn, nm, nk)
+        w_map = lambda nn_, i, kk_: (kk_, nn_)
+        acol_map = lambda nn_, i, kk_: (0, nn_)
+        arow_map = lambda nn_, i, kk_: (i, 0)
+        gs_map = lambda nn_, i, kk_: (0, 0)
+        out_map = lambda nn_, i, kk_: (i, nn_)
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32),
+                   pltpu.VMEM((nk, 4, kb4, bn), jnp.int8)]
+        kernel = functools.partial(_fused_kernel_w4a8_wc, nk=nk)
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+        def a_map(j):
+            return lambda i, nn_, kk_, j=j: (i, j * nk + kk_)
+
+        def s_map(j):
+            return lambda i, nn_, kk_, j=j: (j * nk + kk_, nn_)
+
+        grid = (nm, nn, nk)
+        w_map = lambda i, nn_, kk_: (kk_, nn_)
+        acol_map = lambda i, nn_, kk_: (0, nn_)
+        arow_map = lambda i, nn_, kk_: (i, 0)
+        gs_map = lambda i, nn_, kk_: (0, 0)
+        out_map = lambda i, nn_, kk_: (i, nn_)
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32)]
+        kernel = functools.partial(_fused_kernel_w4a8, nk=nk)
+        semantics = ("parallel", "parallel", "arbitrary")
 
     a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)
                for j in range(4)]
-    w_spec = pl.BlockSpec((bk // 8, bn), lambda i, nn_, kk_: (kk_, nn_),
-                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bk // 8, bn), w_map, memory_space=pltpu.VMEM)
     r_specs = [pl.BlockSpec((srows, bn), s_map(j), memory_space=pltpu.VMEM)
                for j in range(4)]
-    acol_spec = pl.BlockSpec((1, bn), lambda i, nn_, kk_: (0, nn_),
-                             memory_space=pltpu.VMEM)
-    arow_spec = pl.BlockSpec((bm, 1), lambda i, nn_, kk_: (i, 0),
-                             memory_space=pltpu.VMEM)
-    gs_spec = pl.BlockSpec((1, 1), lambda i, nn_, kk_: (0, 0),
-                           memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((bm, bn), lambda i, nn_, kk_: (i, nn_),
-                            memory_space=pltpu.VMEM)
+    acol_spec = pl.BlockSpec((1, bn), acol_map, memory_space=pltpu.VMEM)
+    arow_spec = pl.BlockSpec((bm, 1), arow_map, memory_space=pltpu.VMEM)
+    gs_spec = pl.BlockSpec((1, 1), gs_map, memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((bm, bn), out_map, memory_space=pltpu.VMEM)
 
     gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
     flops = 2 * m_pad * n_pad * kp
     bytes_accessed = (words.size * 4 + r_t.size * 2 + a_i8.size
                       + m_pad * n_pad * 2)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel_w4a8, nk=nk),
-        grid=(nm, nn, nk),
+        kernel,
+        grid=grid,
         in_specs=[*a_specs, w_spec, *r_specs, acol_spec, arow_spec,
                   gs_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=semantics),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,

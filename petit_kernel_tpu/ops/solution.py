@@ -209,7 +209,9 @@ def vmem_estimate(sid: SolutionId, k: int | None = None) -> int:
     acc = bm * bn * 4                 # f32 accumulator scratch
     out = bm * bn * 2
     deq = (bk // 4) * bn * 2          # decode temporaries (streamed, bf16)
-    cache = kp * bn * 2 if sid.weight_cache else 0
+    # weight cache: bf16 slabs for the a16 kernels, int8 for W4A8
+    welt = 1 if sid.mfma_type == MatmulType.INT8 else 2
+    cache = kp * bn * welt if sid.weight_cache else 0
     return 2 * (a + w + s) + acc + out + deq + cache
 
 

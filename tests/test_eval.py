@@ -172,8 +172,11 @@ def test_fp4_quality_gate_trained_model():
     qg = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(qg)
     from petit_kernel_tpu.models import llama
-    cfg, params, train_acc = qg.train(steps=1200)
-    assert train_acc >= 0.95, train_acc
+    # round-4 gate semantics: training EARLY-STOPS once held-out accuracy
+    # crosses target_acc (the gate wants thin margins, not saturation) —
+    # ask for a modest target so the test stays fast and deterministic
+    cfg, params, train_acc = qg.train(steps=1200, target_acc=0.9)
+    assert train_acc >= 0.88, train_acc
     qs = qg.questions(np.random.default_rng(7), 60)
     acc_bf16, _ = ev.score_multiple_choice(params, cfg, qs, fmt="bf16")
     qp = llama.quantize_params(params, "nvfp4")

@@ -137,6 +137,30 @@ def test_mul_w4a8_close_to_a16(fmt):
         assert rel < 0.03, (fmt, m, n, k, rel)
 
 
+def test_mul_w4a8_weight_cache_variant():
+    """The weight-cache W4A8 kernel (grid (nn, nm, nk), int8 VMEM cache,
+    requant once per weight block) is bit-identical to the per-m-block
+    requant kernel — it only changes WHERE the int8 slabs are produced."""
+    m, n, k = 256, 256, 1024
+    d = make_gemm_data(m, n, k, "nvfp4", seed=3)
+    a = jnp.asarray(d.a, jnp.bfloat16)
+    base = (a, jnp.asarray(d.words), jnp.asarray(d.scales_t),
+            jnp.float32(d.global_scale), m, n, k)
+    sid_wc = S.SolutionId(128, 256, 512, S.ElementB.NVFP4,
+                          S.MatmulType.INT8, weight_cache=True)
+    sid_no = S.SolutionId(128, 256, 512, S.ElementB.NVFP4,
+                          S.MatmulType.INT8)
+    c_wc = np.asarray(pk.mul_nvfp4_a8(*base, sid_wc.repr(),
+                                      interpret=True), np.float32)
+    c_no = np.asarray(pk.mul_nvfp4_a8(*base, sid_no.repr(),
+                                      interpret=True), np.float32)
+    assert np.array_equal(c_wc, c_no)
+    c16 = np.asarray(pk.mul_nvfp4_a16(*base, -1, interpret=True),
+                     np.float32)
+    rel = np.linalg.norm(c_wc - c16) / np.linalg.norm(c16)
+    assert rel < 0.03, rel
+
+
 def test_mul_w4a8_explicit_solution_validation():
     d = make_gemm_data(64, 128, 512, "nvfp4", seed=2)
     a = jnp.asarray(d.a, jnp.bfloat16)

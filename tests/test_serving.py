@@ -79,6 +79,28 @@ def test_engine_batch_isolation(setup):
         assert out[i] == alone[i], i
 
 
+def test_batched_admission_matches_per_slot(setup):
+    """A burst of same-bucket prompts admits through ONE full-batch
+    masked-write program (weights stream once per chunk shape); output
+    must be identical to the per-slot chunk-prefill path. Quantized
+    weights: every projection rides the pallas kernel, whose per-row
+    results don't depend on the batch shape (dense XLA dots re-block by
+    batch and flip near-tie argmaxes on random tiny models)."""
+    cfg, params = setup
+    qp = llama.quantize_params(params, "nvfp4")
+    reqs = [serving.Request(uid=i, tokens=p, max_new_tokens=6)
+            for i, p in enumerate(_PROMPTS)]
+    eng_b = serving.Engine(qp, cfg, max_batch=4, fmt="nvfp4",
+                           interpret=True)
+    assert eng_b._batched_prefill_prog is not None
+    out_b = eng_b.run(reqs)
+    eng_s = serving.Engine(qp, cfg, max_batch=4, fmt="nvfp4",
+                           interpret=True)
+    eng_s._batched_prefill_prog = None          # force per-slot admission
+    out_s = eng_s.run(reqs)
+    assert out_b == out_s
+
+
 def test_engine_slot_reuse(setup):
     cfg, params = setup
     eng = serving.Engine(params, cfg, max_batch=1)

@@ -175,6 +175,11 @@ def main():
                    help="decode steps per host round-trip in --engine mode")
     p.add_argument("--new-tokens", type=int, default=128,
                    help="tokens generated per request in --engine mode")
+    p.add_argument("--lm-head-fp4", action="store_true",
+                   help="quantize lm_head to the same FP4 format (decode "
+                        "streams the head every step; bf16 head is ~6% of "
+                        "the 8B-class stream). Quality-gate before "
+                        "adopting (quality_gate.py --quant-head).")
     p.add_argument("--kv-window", type=int, default=128,
                    help="proxy mode: static attention window bucket (set "
                         "to the engine's operating bucket, e.g. 256, for "
@@ -195,12 +200,21 @@ def main():
         else jnp.bfloat16)
     toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, bs), jnp.int32)
 
+    if args.lm_head_fp4:
+        params["lm_head"] = fabricate_qlayer(
+            rng, cfg.hidden_size, cfg.vocab_size,
+            pow2_scales=(args.format == "nvfp4p2"))
+
     # weight bytes streamed per decode step (FP4 words + bf16 scales)
     wbytes = sum(lp[k]["words"].size * 4 + lp[k]["scales"].size * 2
                  + (lp[k]["wd"].size * 2 if "wd" in lp[k] else 0)
                  for lp in params["layers"]
                  for k in ("wqkv", "wo", "w_gateup", "w_down"))
-    wbytes += params["embed"].size * 2  # lm_head (tied) streams too
+    if args.lm_head_fp4:  # FP4 head streams words + scales instead
+        wbytes += (params["lm_head"]["words"].size * 4
+                   + params["lm_head"]["scales"].size * 2)
+    else:
+        wbytes += params["embed"].size * 2  # lm_head (tied) streams too
 
     if args.engine:
         run_engine_bench(args, cfg, params, rng, wbytes)

@@ -133,15 +133,20 @@ def make_chain(cfg, bs, fmt, kv_window, variant):
                 q = qkv[:, :nq * d].reshape(bs, 1, nq, d)
                 kk = qkv[:, nq * d:(nq + nkv) * d].reshape(bs, 1, nkv, d)
                 vv = qkv[:, (nq + nkv) * d:].reshape(bs, 1, nkv, d)
-                q = llama.rope(q, pos2, cfg.rope_theta)
-                kk = llama.rope(kk, pos2, cfg.rope_theta)
-                ck, cv = cache[i]
-                upd = jax.vmap(
-                    lambda c_, new, s: jax.lax.dynamic_update_slice(
-                        c_, new, (s, 0, 0)))
-                ck = upd(ck, kk.astype(ck.dtype), pos2[:, 0])
-                cv = upd(cv, vv.astype(cv.dtype), pos2[:, 0])
-                c = (ck, cv)
+                if variant != "norope":
+                    q = llama.rope(q, pos2, cfg.rope_theta)
+                    kk = llama.rope(kk, pos2, cfg.rope_theta)
+                if variant == "nowrite":
+                    c = cache[i]
+                    ck, cv = c
+                else:
+                    ck, cv = cache[i]
+                    upd = jax.vmap(
+                        lambda c_, new, s: jax.lax.dynamic_update_slice(
+                            c_, new, (s, 0, 0)))
+                    ck = upd(ck, kk.astype(ck.dtype), pos2[:, 0])
+                    cv = upd(cv, vv.astype(cv.dtype), pos2[:, 0])
+                    c = (ck, cv)
                 from petit_kernel_tpu.ops.kernels import attention as attn_mod
                 S = ck.shape[1]
                 nb = min(-(-kv_window // 128), S // 128)
@@ -159,8 +164,11 @@ def make_chain(cfg, bs, fmt, kv_window, variant):
             x = x + dn
             new_cache.append(c)
         if variant in ("nohead", "gemmonly"):
-            nxt = (toks + 1 + jnp.sum(x[0, :1]).astype(jnp.int32)
-                   % 2) % cfg.vocab_size
+            # consume EVERY element of x: a narrower consumer (e.g.
+            # x[0, :1]) lets XLA column-slice the last layer's GEMMs and
+            # dead-code the other batch rows, understating the ablation
+            nxt = (toks + jnp.sum(x, axis=-1).astype(jnp.int32)
+                   ) % cfg.vocab_size
         else:
             x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
             logits = jnp.dot(x, params["lm_head"]["w"],
@@ -246,7 +254,8 @@ def main():
     toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, bs), jnp.int32)
 
     res = {}
-    for variant in ("full", "noattn", "nonorm", "nohead", "gemmonly"):
+    for variant in ("full", "noattn", "norope", "nowrite", "nonorm",
+                    "nohead", "gemmonly"):
         chain = make_chain(cfg, bs, args.format, args.kv_window, variant)
         t = time_chain(chain, params, cache0, toks0, args.n1, args.n2,
                        args.reps)
@@ -255,6 +264,8 @@ def main():
 
     full = res["full"]
     attn = full - res["noattn"]
+    rope_c = full - res["norope"]
+    write_c = full - res["nowrite"]
     norms = full - res["nonorm"]
     head = full - res["nohead"]
     resid = full - res["gemmonly"] - attn - norms - head
@@ -265,7 +276,8 @@ def main():
     print(f"#   gemm chain      : {res['gemmonly'] * 1e3:7.3f}  "
           f"(isolated sum {gemm_l * L * 1e3:.3f}, "
           f"floor {gemm_fl * L * 1e3:.3f})")
-    print(f"#   attention+cache : {attn * 1e3:7.3f}")
+    print(f"#   attention+cache : {attn * 1e3:7.3f}  "
+          f"(rope {rope_c * 1e3:.3f}, cache-write {write_c * 1e3:.3f})")
     print(f"#   rms_norms       : {norms * 1e3:7.3f}")
     print(f"#   head+sample     : {head * 1e3:7.3f}  "
           f"(floor {head_bytes / HBM_GBPS / 1e9 * 1e3:.3f})")
