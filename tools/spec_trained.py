@@ -239,9 +239,10 @@ def main():
         # does the TARGET stay on the true chain deep in its own rollout?
         # (if not, the disagreement is position-extrapolation OOD for
         # both models, not draft weakness — train at the serving length)
+        # at[:, i] predicts the token at position 16+i; the true chain
+        # value there is perm[(seqs[15+i] + seqs[14+i]) % V]
         true_next = perm[(seqs[:, 15:-1] + seqs[:, 14:-2]) % V]
-        on_chain = float((at[:, 1:] == true_next[:, :at.shape[1] - 1]
-                          ).mean())
+        on_chain = float((at[:, :true_next.shape[1]] == true_next).mean())
         print(f"# agreement draft==target argmax: teacher-forced random "
               f"starts {agree_tf:.3f}, rollout distribution {agree_ro:.3f}"
               f" (engine acceptance should track the rollout number); "
