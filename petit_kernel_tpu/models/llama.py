@@ -132,7 +132,15 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
         n = layer["words"].shape[1]
         # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
         pure_fmt = fmt if fmt in ("mxfp4", "nvfp4p2", "w4a8") else "nvfp4"
-        if interpret:
+        if pure_fmt == "w4a8" and "r_t" in layer:
+            # precomputed requant constants (serving engines add them at
+            # init): skips the per-call scale pass — measured as part of
+            # W4A8's mid-m loss (r4). Inference-only path, no VJP.
+            y = gemm_mod.mul_nvfp4_a8(
+                x2.astype(jnp.bfloat16), layer["words"], layer["scales"],
+                layer["gs"], m, n, k, -1, interpret=interpret,
+                r_t=layer["r_t"], acol=layer["acol"])
+        elif interpret:
             mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
                    "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
                    "w4a8": gemm_mod.mul_nvfp4_a8,
@@ -325,7 +333,18 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
         def start(s):
             return tuple(s if a else 0 for a in at)
 
-        if write_mask is None:
+        kernel_ok_w = (d % 128 == 0 and not interpret
+                       and jax.default_backend() != "cpu")
+        if T == 1 and kernel_ok_w:
+            # in-place pallas append: the vmap'd dynamic_update_slice
+            # below lowers to a whole-cache select (measured 24 us/layer
+            # at (8,512,8,128) — the decode step's largest non-GEMM cost,
+            # step_budget r4); the kernel DMAs only the touched rows
+            from ..ops.kernels import attention as attn_mod
+            ck, cv = attn_mod.kv_append(
+                ck, cv, k.reshape(B, nkv, d), v.reshape(B, nkv, d),
+                pos[:, 0], write_mask, headed=headed)
+        elif write_mask is None:
             upd = jax.vmap(lambda c, new, s: jax.lax.dynamic_update_slice(
                 c, new, start(s)))
             ck = upd(ck, kw.astype(ck.dtype), pos[:, 0])

@@ -118,6 +118,29 @@ def _make_chunk_prefill(prefill_fn, takes_window: bool, top_k: int):
     return prog
 
 
+def _w4a8_precompute(params):
+    """Copy of params with per-layer W4A8 requant constants (r_t, acol)
+    precomputed once (fused.w4a8_requant_constants): every w4a8 prefill
+    GEMM otherwise re-derives them from the scales per call — an extra
+    ~3x pass over the scale array, measured as part of W4A8's mid-m loss
+    (round 4). llama.linear picks them up by key."""
+    from ..ops.kernels import fused as fused_mod
+
+    def aug(d):
+        if (isinstance(d, dict) and "words" in d and "scales" in d
+                and "wd" not in d and "r_t" not in d):
+            r_t, acol = fused_mod.w4a8_requant_constants(d["scales"])
+            return {**d, "r_t": r_t, "acol": acol}
+        return d
+
+    out = dict(params)
+    out["layers"] = [{k: aug(v) for k, v in lp.items()}
+                     for lp in params["layers"]]
+    if isinstance(params.get("lm_head"), dict) and "words" in params["lm_head"]:
+        out["lm_head"] = aug(params["lm_head"])
+    return out
+
+
 def _make_batched_prefill(prefill_fn, takes_window: bool, top_k: int):
     """Batched chunk admission: one FULL-BATCH program advances several
     queued prompts by one chunk each. Rows not being admitted ride along
@@ -178,6 +201,8 @@ class Engine:
             prefill_chunk = 512
         self.prefill_chunk = (min(prefill_chunk, cfg.max_seq_len)
                               if prefill_chunk else None)
+        if self.prefill_fmt == "w4a8":
+            self.params = _w4a8_precompute(params)
         self.interpret = interpret
         self.top_k = top_k
         self._key = jax.random.PRNGKey(seed)
@@ -831,6 +856,8 @@ class PagedEngine(Engine):
             prefill_chunk = 512   # int8-MXU crossover (see Engine)
         self.prefill_chunk = (min(prefill_chunk, cfg.max_seq_len)
                               if prefill_chunk else None)
+        if self.prefill_fmt == "w4a8":
+            self.params = _w4a8_precompute(params)
         if self.prefill_fmt != fmt and \
                 not {fmt, self.prefill_fmt} <= {"nvfp4", "w4a8"}:
             raise ValueError(

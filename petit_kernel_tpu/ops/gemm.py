@@ -239,7 +239,8 @@ def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
 
 
 def _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
-              element_b: ElementB, interpret: bool = False):
+              element_b: ElementB, interpret: bool = False,
+              r_t=None, acol=None):
     if size_m == 0 or size_n == 0 or size_k == 0:
         return jnp.zeros((size_m, size_n), dtype=jnp.asarray(a).dtype)
     group = 16 if element_b == ElementB.NVFP4 else 32
@@ -258,12 +259,13 @@ def _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
     out = fused.fused_mul_w4a8(a.astype(jnp.bfloat16), b, s,
                                jnp.asarray(global_scale, jnp.float32),
                                sid=sid, out_dtype=jnp.bfloat16,
-                               interpret=interpret)
+                               interpret=interpret, r_t=r_t, acol=acol)
     return out.astype(in_dtype) if in_dtype != jnp.bfloat16 else out
 
 
 def mul_nvfp4_a8(a, b, s, global_scale, size_m, size_n, size_k,
-                 solution_id: int = -1, *, interpret: bool = False):
+                 solution_id: int = -1, *, interpret: bool = False,
+                 r_t=None, acol=None):
     """W4A8: same NVFP4 operands as mul_nvfp4_a16, but activations are
     quantized per token to int8 and the MXU runs int8 dots (measured 1.94x
     bf16 MXU throughput on v5e) — the TPU analog of the reference's
@@ -274,14 +276,17 @@ def mul_nvfp4_a8(a, b, s, global_scale, size_m, size_n, size_k,
     (prefill) regime; decode stays on the a16 path (bandwidth-bound, no
     MXU win)."""
     return _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k,
-                     solution_id, ElementB.NVFP4, interpret=interpret)
+                     solution_id, ElementB.NVFP4, interpret=interpret,
+                     r_t=r_t, acol=acol)
 
 
 def mul_mxfp4_a8(a, b, s, global_scale, size_m, size_n, size_k,
-                 solution_id: int = -1, *, interpret: bool = False):
+                 solution_id: int = -1, *, interpret: bool = False,
+                 r_t=None, acol=None):
     """MXFP4 W4A8 variant (see mul_nvfp4_a8)."""
     return _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k,
-                     solution_id, ElementB.MXFP4, interpret=interpret)
+                     solution_id, ElementB.MXFP4, interpret=interpret,
+                     r_t=r_t, acol=acol)
 
 
 def mul_nvfp4p2_a16(a, b, s, global_scale, size_m, size_n, size_k,

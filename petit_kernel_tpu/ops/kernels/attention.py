@@ -647,3 +647,125 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
         interpret=interpret,
     )(pos0.astype(jnp.int32), qr, ck, cv)
     return out.reshape(B, H, T, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# In-place KV append: write one decode step's K/V rows into the cache at
+# per-sequence positions WITHOUT rewriting the cache. The jnp path
+# (vmap'd dynamic_update_slice, llama.attention) lowers to a whole-cache
+# select — measured 24 us/layer at (8, 512, 8, 128) bf16, the decode
+# step's largest non-GEMM cost (tools/step_budget.py, round 4). This
+# kernel aliases the cache through pallas_call and DMAs only the touched
+# (hkv, d) row per sequence: ~2 KB instead of ~17 MB per layer.
+# ---------------------------------------------------------------------------
+
+def _kv_append_kernel(pos_ref, mask_ref, kn_ref, vn_ref, ck_ref, cv_ref,
+                      ok_ref, ov_ref):
+    b = pl.program_id(0)
+    keep = mask_ref[b] != 0
+    ok_ref[:] = jnp.where(keep, kn_ref[:].reshape(ok_ref.shape
+                                                  ).astype(ok_ref.dtype),
+                          ck_ref[:])
+    ov_ref[:] = jnp.where(keep, vn_ref[:].reshape(ov_ref.shape
+                                                  ).astype(ov_ref.dtype),
+                          cv_ref[:])
+
+
+def _kv_append_kernel_headed(pos_ref, mask_ref, kn_ref, vn_ref, ck_ref,
+                             cv_ref, ok_ref, ov_ref, *, epw: int):
+    """Headed (B, Hkv, S, d) layout: Mosaic requires the last-two block
+    dims be (8k, 128k), so the block spans 8 positions (grid (B, Hkv),
+    block (1, 1, 8, d) at S-block pos[b]//8) and the kernel splices the
+    new row in the u32 SWAR domain — a narrow-dtype (fp8/bf16) dynamic
+    sublane store or select does not lower through Mosaic (probed on v5e
+    2026-08-19). epw = cache elements per u32 (4 for fp8, 2 for bf16);
+    element s of a u32-packed sublane sits at bits 32/epw * (s % epw)
+    (little-endian pairing verified on hardware — see _upcast_f8_swar).
+    kn/vn arrive PRE-PACKED as u32 (element bits in the low bits)."""
+    b = pl.program_id(0)
+    bits = 32 // epw
+    keep = mask_ref[b] != 0
+    sub = pos_ref[b] % 8
+    row = (sub // epw).astype(jnp.uint32)
+    shift = (jnp.uint32(bits) * (sub % epw).astype(jnp.uint32))
+    elem_mask = jnp.uint32((1 << bits) - 1) << shift
+
+    for new_ref, c_ref, o_ref in ((kn_ref, ck_ref, ok_ref),
+                                  (vn_ref, cv_ref, ov_ref)):
+        old = pltpu.bitcast(c_ref[:], jnp.uint32)   # (1, 1, 8/epw, d)
+        rowmask = jax.lax.broadcasted_iota(
+            jnp.uint32, old.shape, 2) == row
+        ins = (old & ~elem_mask) | ((new_ref[:] << shift) & elem_mask)
+        new = jnp.where(rowmask & keep, ins, old)
+        o_ref[:] = pltpu.bitcast(new, o_ref.dtype)
+
+
+def kv_append(ck: jax.Array, cv: jax.Array, k_new: jax.Array,
+              v_new: jax.Array, pos: jax.Array,
+              mask: jax.Array | None = None, *, headed: bool = False,
+              interpret: bool = False):
+    """Append one token's KV per sequence, in place.
+
+    ck/cv  : (B, S, Hkv, d) flat or (B, Hkv, S, d) with headed=True
+    k_new  : (B, Hkv, d) new keys (any float dtype; cast to cache dtype)
+    v_new  : (B, Hkv, d)
+    pos    : (B,) int32 write position per sequence (< S)
+    mask   : optional (B,) bool; rows with mask[b]=False keep their cache
+             content bit-exactly (the engine's write_mask contract)
+    returns (ck, cv) — the SAME buffers, updated (input_output_aliases);
+    callers must treat the inputs as consumed (donated under jit).
+    """
+    B = ck.shape[0]
+    if mask is None:
+        mask = jnp.ones((B,), jnp.int32)
+    if headed:
+        _, Hkv, S, d = ck.shape
+        assert S % 8 == 0, S
+        # Mosaic last-two-dims rule: the cache block spans 8 positions
+        # (the one holding pos[b]); the kernel u32-splices pos[b] % 8.
+        # New values arrive pre-packed as u32 (low bits), since narrow
+        # dtypes can't be dynamically stored or selected in Mosaic.
+        epw = 32 // (8 * ck.dtype.itemsize)
+        narrow = {1: jnp.uint8, 2: jnp.uint16}[ck.dtype.itemsize]
+        blk = (1, 1, 8, d)
+        idx = lambda b, h, pos, m: (b, h, pos[b] // 8, 0)
+        new_spec = pl.BlockSpec((1, 1, 1, d),
+                                lambda b, h, pos, m: (b, h, 0, 0))
+
+        def pack(x):
+            return jax.lax.bitcast_convert_type(
+                x.astype(ck.dtype), narrow).astype(jnp.uint32
+                                                   ).reshape(B, Hkv, 1, d)
+        kn = pack(k_new)
+        vn = pack(v_new)
+        kernel = functools.partial(_kv_append_kernel_headed, epw=epw)
+        grid = (B, Hkv)
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        _, S, Hkv, d = ck.shape
+        blk = (1, 1, Hkv, d)
+        idx = lambda b, pos, m: (b, pos[b], 0, 0)
+        new_spec = pl.BlockSpec((1, 1, Hkv, d),
+                                lambda b, pos, m: (b, 0, 0, 0))
+        kn = k_new.reshape(B, 1, Hkv, d).astype(ck.dtype)
+        vn = v_new.reshape(B, 1, Hkv, d).astype(cv.dtype)
+        kernel = _kv_append_kernel
+        grid = (B,)
+        semantics = ("arbitrary",)
+    cache_spec = pl.BlockSpec(blk, idx)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=[cache_spec, cache_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+                   jax.ShapeDtypeStruct(cv.shape, cv.dtype)],
+        # args: (pos, mask, kn, vn, ck, cv) -> ck is input 4, cv input 5
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), mask.astype(jnp.int32), kn, vn, ck, cv)

@@ -523,17 +523,35 @@ def _fused_kernel_w4a8_wc(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
                       * gs_ref[0, 0]).astype(out_ref.dtype)
 
 
+def w4a8_requant_constants(scales_t: jax.Array):
+    """Per-column weight requant constants for the W4A8 kernel:
+    colmax = 6 * max(scales_t) per column, r_t = scales_t * 127/colmax
+    (bf16), acol = colmax/127 (f32, (1, n)). Computing these per call
+    costs an extra ~3x pass over the scale array (read scales, write
+    r_t, kernel reads r_t — measured as part of W4A8's mid-m loss,
+    round 4); precompute once at load/engine-init time and pass to
+    fused_mul_w4a8(r_t=..., acol=...)."""
+    s32 = scales_t.astype(jnp.float32)
+    colmax = 6.0 * jnp.max(s32, axis=0, keepdims=True)        # (1, n)
+    colmax = jnp.where(colmax == 0, 1.0, colmax)
+    r_t = (s32 * (127.0 / colmax)).astype(jnp.bfloat16)       # (kp/16, n)
+    acol = colmax / 127.0                                     # (1, n)
+    return r_t, acol
+
+
 @functools.partial(jax.jit, static_argnames=("sid", "interpret", "out_dtype"))
 def fused_mul_w4a8(a: jax.Array, words: jax.Array, scales_t: jax.Array,
                    global_scale: jax.Array, *, sid: SolutionId,
                    out_dtype=jnp.bfloat16,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   r_t: jax.Array | None = None,
+                   acol: jax.Array | None = None) -> jax.Array:
     """W4A8 path of fused_mul: same (words, scales_t) operands, int8 MXU.
 
     Host-side pre-passes (XLA, fused into the caller's graph):
       - per-token activation quantization: arow = max|a|/127, a_i8
-      - per-column requant constants from the processed scales:
-        colmax = 6 * max(scales_t) per column, r = scales_t * 127/colmax
+      - per-column requant constants (w4a8_requant_constants) — pass
+        precomputed r_t/acol to skip the per-call scale pass
     """
     interpret = interpret or jax.default_backend() == "cpu"
     m, k = a.shape
@@ -545,12 +563,8 @@ def fused_mul_w4a8(a: jax.Array, words: jax.Array, scales_t: jax.Array,
     bm, bn, bk = sid.block_m, sid.block_n, sid.block_k
     assert kp % bk == 0 and bk % 512 == 0
 
-    # --- weight-side requant constants (pure XLA, cached under jit)
-    s32 = scales_t.astype(jnp.float32)
-    colmax = 6.0 * jnp.max(s32, axis=0, keepdims=True)        # (1, n)
-    colmax = jnp.where(colmax == 0, 1.0, colmax)
-    r_t = (s32 * (127.0 / colmax)).astype(jnp.bfloat16)       # (kp/16, n)
-    acol = colmax / 127.0                                     # (1, n)
+    if r_t is None or acol is None:
+        r_t, acol = w4a8_requant_constants(scales_t)
 
     # --- activation-side per-token int8 quantization
     af = a.astype(jnp.float32)

@@ -282,3 +282,37 @@ def test_flash_prefill_headed_matches_flat(dtype):
         ns=4, block_q=64, interpret=True, headed=True)
     np.testing.assert_array_equal(np.asarray(flat, np.float32),
                                   np.asarray(headed, np.float32))
+
+
+@pytest.mark.parametrize("headed,dtype", [
+    (False, jnp.bfloat16), (True, jnp.bfloat16),
+    (True, jnp.float8_e4m3fn)])
+def test_kv_append_in_place(headed, dtype):
+    """kv_append (in-place pallas cache write) matches a masked
+    dynamic_update_slice bit-exactly in both cache layouts (headed fp8 is
+    the SWAR serving cache: the kernel u32-splices the row)."""
+    from petit_kernel_tpu.ops.kernels import attention as A
+    B, S, H, D = 2, 8, 2, 128
+    shape = (B, H, S, D) if headed else (B, S, H, D)
+    ck = (jnp.arange(np.prod(shape), dtype=jnp.float32) % 13
+          ).reshape(shape).astype(dtype)
+    cv = (ck.astype(jnp.float32) + 1).astype(dtype)
+    kn = jnp.full((B, H, D), 7.0, jnp.bfloat16)
+    vn = jnp.full((B, H, D), 9.0, jnp.bfloat16)
+    pos = jnp.array([2, 5], jnp.int32)
+    mask = jnp.array([True, False])
+    ck0, cv0 = np.asarray(ck, np.float32), np.asarray(cv, np.float32)
+    nk, nv = A.kv_append(ck, cv, kn, vn, pos, mask, headed=headed,
+                         interpret=True)
+    exp_k, exp_v = ck0.copy(), cv0.copy()
+    if headed:
+        exp_k[0, :, 2], exp_v[0, :, 2] = 7.0, 9.0
+    else:
+        exp_k[0, 2], exp_v[0, 2] = 7.0, 9.0
+    assert np.array_equal(np.asarray(nk, np.float32), exp_k)
+    assert np.array_equal(np.asarray(nv, np.float32), exp_v)
+    # mask=None appends every row
+    nk2, _ = A.kv_append(ck, cv, kn, vn, pos, None, headed=headed,
+                         interpret=True)
+    idx = (1, slice(None), 5) if headed else (1, 5)
+    assert np.all(np.asarray(nk2, np.float32)[idx] == 7.0)

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""On-hardware correctness probe for the in-place kv_append kernel.
+
+Interpret-mode tests pin kv_append == masked dynamic_update_slice
+bit-exactly on CPU; this probe proves the same ON THE REAL CHIP, where
+input_output_aliases and the dynamic sublane store actually lower
+through Mosaic: a small model decodes N tokens twice — once through the
+kv_append pallas path (the TPU default), once with a jnp
+dynamic_update_slice drop-in (monkeypatched) — and the token streams
+plus final cache contents must match exactly.
+
+Covers: flat bf16 cache, headed fp8 cache, masked rows (write_mask).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from petit_kernel_tpu.models import llama
+import petit_kernel_tpu.ops.kernels.attention as attn_mod
+
+
+def jnp_append(ck, cv, k_new, v_new, pos, mask=None, *, headed=False,
+               interpret=False):
+    """Drop-in jnp equivalent of kv_append (the pre-round-4 path)."""
+    B = ck.shape[0]
+    if headed:
+        kw, vw = k_new[:, :, None, :], v_new[:, :, None, :]
+        at = (0, 1, 0)
+    else:
+        kw, vw = k_new[:, None, :, :], v_new[:, None, :, :]
+        at = (1, 0, 0)
+
+    def start(s):
+        return tuple(s if a else 0 for a in at)
+
+    def upd1(c, new, s, a):
+        old = jax.lax.dynamic_slice(c, start(s), new.shape)
+        return jax.lax.dynamic_update_slice(
+            c, jnp.where(a, new, old), start(s))
+
+    m = jnp.ones((B,), bool) if mask is None else mask
+    upd = jax.vmap(upd1)
+    return (upd(ck, kw.astype(ck.dtype), pos, m),
+            upd(cv, vw.astype(cv.dtype), pos, m))
+
+
+def decode_tokens(params, cfg, cache, n_steps, mask):
+    B = cache[0][0].shape[0]
+    toks = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def step(params, cache, toks, pos):
+        logits, cache = llama.forward(
+            params, toks[:, None], cfg, cache, pos[:, None],
+            kv_window=128, write_mask=mask)
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+    outs = []
+    pos = jnp.full((B,), 4, jnp.int32)
+    for _ in range(n_steps):
+        toks, cache = step(params, cache, toks, pos)
+        pos = pos + 1
+        outs.append(np.asarray(toks))
+    return np.stack(outs, 1), jax.tree.map(np.asarray, cache)
+
+
+def main():
+    cfg = llama.LlamaConfig.tiny(head_dim=128, num_heads=4, num_kv_heads=2,
+                                 max_seq_len=256)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    B, n = 4, 12
+    mask = jnp.asarray(np.array([True, True, False, True]))
+
+    ok_all = True
+    for name, dtype in (("flat-bf16", jnp.bfloat16),
+                        ("headed-fp8", jnp.float8_e4m3fn)):
+        for mk, m in (("all", None), ("masked", mask)):
+            cache0 = llama.init_cache(cfg, B, dtype)
+            orig = attn_mod.kv_append
+            t_k, c_k = decode_tokens(params, cfg,
+                                     jax.tree.map(jnp.array, cache0), n, m)
+            attn_mod.kv_append = jnp_append
+            try:
+                t_j, c_j = decode_tokens(
+                    params, cfg, jax.tree.map(jnp.array, cache0), n, m)
+            finally:
+                attn_mod.kv_append = orig
+            tok_eq = np.array_equal(t_k, t_j)
+            cache_eq = True
+            for (k1, v1), (k2, v2) in zip(c_k, c_j):
+                cache_eq &= np.array_equal(
+                    np.asarray(k1, np.float32), np.asarray(k2, np.float32))
+                cache_eq &= np.array_equal(
+                    np.asarray(v1, np.float32), np.asarray(v2, np.float32))
+            print(f"# {name:11s} mask={mk:6s}: tokens_equal={tok_eq} "
+                  f"cache_equal={bool(cache_eq)}", flush=True)
+            ok_all = ok_all and tok_eq and bool(cache_eq)
+    print({"kv_append_hw_exact": ok_all})
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()

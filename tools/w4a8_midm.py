@@ -97,13 +97,23 @@ def main():
                                          weight_cache=True)
                 if S.is_feasible(sw, m, n, k):
                     rows[f"w4a8-wc bm{bm}"] = (sw, None)
+            # serving passes precomputed requant constants (engines add
+            # them at init — serving._w4a8_precompute); measure both
+            r_t, acol = jax.block_until_ready(
+                fused.w4a8_requant_constants(scales))
             best8 = (None, np.inf)
-            for name, (sid, _) in rows.items():
-                t8 = t_of(lambda a_, w_, s_, sid=sid: fused.fused_mul_w4a8(
-                    a_, w_, s_, gs, sid=sid), a, words, scales)
+            for name, (sid, _) in list(rows.items()):
+                t8 = t_of(lambda a_, w_, s_, r_=r_t, ac=acol, sid=sid:
+                          fused.fused_mul_w4a8(a_, w_, s_, gs, sid=sid,
+                                               r_t=r_, acol=ac),
+                          a, words, scales)
                 rows[name] = (sid, t8)
                 if t8 < best8[1]:
                     best8 = (name, t8)
+            t8_live = t_of(lambda a_, w_, s_: fused.fused_mul_w4a8(
+                a_, w_, s_, gs, sid=rows[f"w4a8 bm{sid8.block_m}"][0]),
+                a, words, scales)
+            rows["w4a8 live-requant"] = (None, t8_live)
             parts = "  ".join(f"{nm}={t * 1e6:7.1f}us"
                               for nm, (_, t) in rows.items())
             print(f"# m={m:4d} n={n} k={k}: dense={td * 1e6:7.1f}us "
