@@ -141,11 +141,14 @@ def make_chain(cfg, bs, fmt, kv_window, variant):
                     ck, cv = c
                 else:
                     ck, cv = cache[i]
-                    upd = jax.vmap(
-                        lambda c_, new, s: jax.lax.dynamic_update_slice(
-                            c_, new, (s, 0, 0)))
-                    ck = upd(ck, kk.astype(ck.dtype), pos2[:, 0])
-                    cv = upd(cv, vv.astype(cv.dtype), pos2[:, 0])
+                    from petit_kernel_tpu.ops.kernels import (
+                        attention as attn_w)
+                    # same in-place pallas append the model path uses
+                    # (llama.attention); the old vmap'd
+                    # dynamic_update_slice rewrote the whole cache
+                    ck, cv = attn_w.kv_append(
+                        ck, cv, kk.reshape(bs, nkv, d),
+                        vv.reshape(bs, nkv, d), pos2[:, 0])
                     c = (ck, cv)
                 from petit_kernel_tpu.ops.kernels import attention as attn_mod
                 S = ck.shape[1]
