@@ -168,6 +168,11 @@ def _make_batched_prefill(prefill_fn, takes_window: bool, top_k: int):
 class Engine:
     """Slot-based continuous batching over a llama-family FP4 model."""
 
+    # run() may keep one decode block in flight while the previous one is
+    # read back (_drain_blocks_pipelined); SpecEngine opts out — its
+    # step_block degrades to spec ticks with their own scheduling.
+    _pipeline_blocks = True
+
     def __init__(self, params, cfg: llama.LlamaConfig, *, max_batch: int = 8,
                  fmt: str = "nvfp4", cache_dtype=jnp.bfloat16,
                  interpret: bool = False, forward_fn=None, cache=None,
@@ -495,14 +500,17 @@ class Engine:
             logits, _ = self._prefill_forward(self.params, toks, cache, pos)
         return logits
 
-    def _kv_window(self, extra: int = 0) -> Optional[int]:
+    def _kv_window(self, extra: int = 0, pos=None) -> Optional[int]:
         """Bucketed max attended length over active slots: a power-of-two
         multiple of 128, so the decode step compiles O(log max_seq) distinct
         programs while attention traffic tracks actual context. `extra`
-        reserves headroom for a multi-step decode block."""
+        reserves headroom for a multi-step decode block; `pos` overrides
+        self.pos with a projected position vector (pipelined dispatch,
+        where host state lags the in-flight block)."""
         if not self._fwd_takes_window or not self.active.any():
             return None
-        need = int(self.pos[self.active].max()) + 1 + extra
+        p = self.pos if pos is None else pos
+        need = int(p[self.active].max()) + 1 + extra
         w = 128
         while w < need:
             w *= 2
@@ -521,14 +529,25 @@ class Engine:
         """Free per-slot cache resources (no-op for the contiguous cache:
         prefill of the next occupant overwrites the rows)."""
 
-    def _run_decode_block(self, toks, pos, steps: int):
-        """Device half of step_block: K chained decode steps, one host
-        round-trip. Returns (steps, B) token ids."""
+    def _grow_for_block(self, pos, steps: int) -> None:
+        """Pre-dispatch capacity hook: the contiguous cache needs nothing
+        (the budget already bounds writes to max_seq_len); PagedEngine
+        grows block tables to cover the block's write range."""
+
+    def _dispatch_block(self, toks, pos, steps: int, kv_window):
+        """Dispatch one K-step decode block (async; no host read)."""
         out, self.cache = self._decode_block(
             self.params, self.cache, toks, pos, self._next_key(),
             jnp.asarray(self.temps), jnp.asarray(self.active), steps,
-            kv_window=self._kv_window(extra=steps))
+            kv_window=kv_window)
         return out
+
+    def _run_decode_block(self, toks, pos, steps: int):
+        """Device half of step_block: K chained decode steps, one host
+        round-trip. Returns (steps, B) token ids."""
+        self._grow_for_block(self.pos, steps)
+        return self._dispatch_block(toks, pos, steps,
+                                    self._kv_window(extra=steps))
 
     # ------------------------------------------------------------------------
 
@@ -600,6 +619,13 @@ class Engine:
             return self.step()
         out = np.asarray(self._run_decode_block(
             jnp.asarray(self.last_tok), jnp.asarray(self.pos), steps))
+        self._absorb_block(out, steps)
+        return int(self.active.sum()) + len(self._pf)
+
+    def _absorb_block(self, out: np.ndarray, steps: int) -> None:
+        """Host half of a decode block: append tokens per active slot,
+        advance pos, finish slots at eos/max_new (surplus block tokens
+        past a finish are discarded — the eos contract)."""
         for slot in np.flatnonzero(self.active):
             req = self.slot_req[slot]
             done = False
@@ -615,7 +641,60 @@ class Engine:
                     break
             if done:
                 self._finish(slot)
-        return int(self.active.sum()) + len(self._pf)
+
+    def _drain_blocks_pipelined(self, max_steps: int) -> None:
+        """Decode all active slots with ONE block always in flight: block
+        N+1 is dispatched from block N's device-resident tail token
+        (out[steps-1]) BEFORE block N's tokens are read back, so the
+        per-block host round-trip (~29 ms over the axon relay) and the
+        absorb bookkeeping overlap device execution instead of
+        serializing with it. Used by run() only when no admissions are
+        waiting (with waiters the plain step_block path frees slots
+        promptly for the queue).
+
+        Token streams are identical to the sequential path: slot chains
+        are independent, so a block dispatched with a pre-absorb active
+        mask still computes the true continuation for surviving slots;
+        a slot that finishes mid-block has its surplus tokens discarded
+        on host and its surplus KV never attended (the chunked-prefill
+        garbage contract), and the projected budget keeps every write
+        below max_seq_len."""
+        def budget(extra: int) -> int:
+            k, longest = max_steps, 0
+            for slot in np.flatnonzero(self.active):
+                req = self.slot_req[slot]
+                k = min(k, self.cfg.max_seq_len
+                        - (int(self.pos[slot]) + extra) - 1)
+                longest = max(longest, req.max_new_tokens
+                              - len(self.generated[req.uid]) - extra)
+            return max(0, min(k, longest))
+
+        s1 = budget(0)
+        if s1 <= 0:
+            return
+        if s1 == 1:
+            self.step()
+            return
+        self._grow_for_block(self.pos, s1)
+        out1 = self._dispatch_block(
+            jnp.asarray(self.last_tok), jnp.asarray(self.pos), s1,
+            self._kv_window(extra=s1))
+        while True:
+            s2 = budget(s1)
+            out2 = None
+            if s2 > 1:
+                pos_proj = self.pos.copy()
+                pos_proj[self.active] += s1
+                self._grow_for_block(pos_proj, s2)
+                out2 = self._dispatch_block(
+                    out1[s1 - 1], jnp.asarray(pos_proj), s2,
+                    self._kv_window(extra=s2, pos=pos_proj))
+            res1 = np.asarray(out1)        # overlaps block-2 execution
+            self._absorb_block(res1, s1)
+            if out2 is None or not self.active.any():
+                return          # an unread out2 is discarded (rare: every
+                                # slot hit eos inside block 1)
+            out1, s1 = out2, s2
 
     def run(self, requests: list[Request],
             decode_block: int = 1) -> dict[int, list[int]]:
@@ -637,7 +716,12 @@ class Engine:
                 while self._pf:
                     self._advance_prefill()
             if decode_block > 1 and not self._pf:
-                self.step_block(decode_block, waiters=bool(pending))
+                if not pending and self._pipeline_blocks:
+                    # no admissions waiting: drain with one block always
+                    # in flight (readback/bookkeeping overlap device work)
+                    self._drain_blocks_pipelined(decode_block)
+                else:
+                    self.step_block(decode_block, waiters=bool(pending))
             else:
                 self.step()
         return dict(self.finished)
@@ -661,6 +745,9 @@ class SpecEngine(Engine):
     Greedy only (temperature sampling would need rejection sampling);
     requires target and draft to share the vocabulary.
     """
+
+    #: spec ticks have their own scheduling — no block pipelining
+    _pipeline_blocks = False
 
     #: admissible draft depths when gamma_adaptive: each value compiles one
     #: (B, g+1) verify program, so the set is small and fixed
@@ -987,16 +1074,18 @@ class PagedEngine(Engine):
             jnp.asarray(self.active), kv_window=self._kv_window())
         return nxt
 
-    def _run_decode_block(self, toks, pos, steps: int):
+    def _grow_for_block(self, pos, steps: int) -> None:
         # grow block tables to cover the whole block's write range up front
+        # (pos may be a PROJECTED position vector under pipelined dispatch)
         for slot in np.flatnonzero(self.active):
             self._paged.ensure_capacity(self.pc, slot,
-                                        int(self.pos[slot]) + steps)
+                                        int(pos[slot]) + steps)
+
+    def _dispatch_block(self, toks, pos, steps: int, kv_window):
         out, self.pc.pages = self._decode_block(
             self.params, self.pc.pages, self.pc.block_tables, toks, pos,
             self._next_key(), jnp.asarray(self.temps),
-            jnp.asarray(self.active), steps,
-            kv_window=self._kv_window(extra=steps))
+            jnp.asarray(self.active), steps, kv_window=kv_window)
         return out
 
     def _release(self, slot: int) -> None:

@@ -573,3 +573,43 @@ def test_init_cache_fp8_unaligned_seq_warns():
     cfg = llama.LlamaConfig.tiny(max_seq_len=192)
     with pytest.warns(UserWarning, match="SWAR"):
         llama.init_cache(cfg, 1, jnp.float8_e4m3fn)
+
+
+def test_pipelined_drain_matches_single_step(setup):
+    """run(decode_block=K) with no queued admissions drains through
+    _drain_blocks_pipelined — one block always in flight, block N+1
+    dispatched from block N's device-resident tail token before N is
+    read back. Token streams must equal K=1 exactly across several
+    chained blocks, for both cache backends."""
+    cfg, params = setup
+    reqs = lambda: [serving.Request(uid=i, tokens=p, max_new_tokens=17)
+                    for i, p in enumerate(_PROMPTS[:2])]
+    for mk in (lambda: serving.Engine(params, cfg, max_batch=2),
+               lambda: serving.PagedEngine(params, cfg, max_batch=2,
+                                           page_size=8)):
+        want = mk().run(reqs())                  # K=1 oracle
+        got = mk().run(reqs(), decode_block=4)   # ~5 pipelined blocks
+        assert got == want, type(mk()).__name__
+
+
+def test_pipelined_drain_eos_midflight(setup):
+    """A slot hitting eos while the NEXT block is already in flight: the
+    in-flight block was dispatched with a stale active mask, so the
+    finished slot's surplus tokens must be discarded while the surviving
+    slot's tokens from that same block remain exact."""
+    cfg, params = setup
+    ref = serving.Engine(params, cfg, max_batch=2).run(
+        [serving.Request(uid=0, tokens=_PROMPTS[0], max_new_tokens=17),
+         serving.Request(uid=1, tokens=_PROMPTS[2], max_new_tokens=17)])
+    eos = ref[0][6]   # slot 0 stops on its 7th token — mid-block at K=4
+    reqs = lambda: [
+        serving.Request(uid=0, tokens=_PROMPTS[0], max_new_tokens=17,
+                        eos_id=eos),
+        serving.Request(uid=1, tokens=_PROMPTS[2], max_new_tokens=17,
+                        eos_id=eos)]
+    for mk in (lambda: serving.Engine(params, cfg, max_batch=2),
+               lambda: serving.PagedEngine(params, cfg, max_batch=2,
+                                           page_size=8)):
+        want = mk().run(reqs())                  # K=1, same eos semantics
+        got = mk().run(reqs(), decode_block=4)
+        assert got == want, type(mk()).__name__
