@@ -434,6 +434,24 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _round_i8_bf16(b):
+    """RNE round-to-integer of a bf16 vector IN the bf16 domain, as int8.
+
+    Mosaic cannot legalize math.roundeven on bf16 vectors (probed v5e
+    2026-08-20: 'failed to legalize operation math.roundeven'), and the
+    f32 `astype` before an f32 round is a pure widening-relayout cost.
+    Magic-constant round instead: |b| + 128 lands in [128, 256), where
+    the bf16 ulp is exactly 1, so the ADD itself performs the
+    round-to-nearest-even onto the integer grid; subtracting 128 is
+    exact, and the final int8 convert truncates an already-integral
+    value. Requires |b| <= 127, guaranteed by the requant constant
+    r = scale * 127 / colmax. Bit-identical to
+    lax.round(TO_NEAREST_EVEN) on that domain (pinned in tests)."""
+    m = jnp.bfloat16(128.0)
+    r = (jnp.abs(b) + m) - m
+    return jnp.where(b < 0, -r, r).astype(jnp.int8)
+
+
 def _fused_kernel_w4a8(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
                        arow_ref, gs_ref, out_ref, acc_ref, *, nk: int):
     """Per k-step: v6 decode -> multiply by the requant slab r (bf16,
@@ -455,17 +473,17 @@ def _fused_kernel_w4a8(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
         rq = r_refs[j][:]
         a = a_refs[j][:]
         for ch in range(deq.shape[0] // 128):
-            # bf16-domain round: integers <= 127 are exact in bf16, so
-            # the f32 widening relayout before the round is pure cost
-            # (the bf16 product is itself already RNE-rounded — double
-            # rounding sits inside the int8 quantization noise the
-            # 3%-tolerance contract allows)
+            # bf16-domain round (magic-constant RNE, _round_i8_bf16):
+            # no f32 widening relayout, and no math.roundeven, which
+            # Mosaic cannot legalize on bf16 (the bf16 product is
+            # itself already RNE-rounded — double rounding sits inside
+            # the int8 quantization noise the 3%-tolerance contract
+            # allows)
             b = (deq[ch * 128:(ch + 1) * 128]
                  * _chunk_scale_slab(rq, ch))
             # |b| <= 127 by construction of r; stored zeros decode to a
             # subnormal the multiply flushes (or rounds) to 0
-            b_i8 = jax.lax.round(
-                b, jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int8)
+            b_i8 = _round_i8_bf16(b)
             a_ch = a[:, ch * 128:(ch + 1) * 128]
             acc_ref[:] += jax.lax.dot_general(
                 a_ch, b_i8, (((1,), (0,)), ((), ())),
@@ -509,9 +527,8 @@ def _fused_kernel_w4a8_wc(a0, a1, a2, a3, w_ref, r0, r1, r2, r3, acol_ref,
                 # variants are pinned bit-identical in tests)
                 b = (deq[ch * 128:(ch + 1) * 128]
                      * _chunk_scale_slab(rq, ch))
-                bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = jax.lax.round(
-                    b, jax.lax.RoundingMethod.TO_NEAREST_EVEN
-                ).astype(jnp.int8)
+                bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = \
+                    _round_i8_bf16(b)
 
     a_refs = (a0, a1, a2, a3)
     for j in range(4):
