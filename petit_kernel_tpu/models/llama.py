@@ -26,6 +26,7 @@ import numpy as np
 from ..numerics import reference as ref_numerics
 from ..ops import layout as layout_mod
 from ..ops import gemm as gemm_mod
+from ..ops.kernels import attention as attn_quant
 from ..ops.solution import ElementB
 
 
@@ -347,8 +348,8 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
         elif write_mask is None:
             upd = jax.vmap(lambda c, new, s: jax.lax.dynamic_update_slice(
                 c, new, start(s)))
-            ck = upd(ck, kw.astype(ck.dtype), pos[:, 0])
-            cv = upd(cv, vw.astype(cv.dtype), pos[:, 0])
+            ck = upd(ck, attn_quant.quantize_kv(kw, ck.dtype), pos[:, 0])
+            cv = upd(cv, attn_quant.quantize_kv(vw, cv.dtype), pos[:, 0])
         else:
             # masked write: rows with write_mask[b]=False keep their cache
             # content bit-exactly (a mid-prefill slot swept along in a
@@ -360,8 +361,10 @@ def attention(x, lp, cache, pos, cfg: LlamaConfig, mask, *, fmt, interpret,
                 return jax.lax.dynamic_update_slice(
                     c, jnp.where(a, new, old), start(s))
             upd = jax.vmap(upd1)
-            ck = upd(ck, kw.astype(ck.dtype), pos[:, 0], write_mask)
-            cv = upd(cv, vw.astype(cv.dtype), pos[:, 0], write_mask)
+            ck = upd(ck, attn_quant.quantize_kv(kw, ck.dtype), pos[:, 0],
+                     write_mask)
+            cv = upd(cv, attn_quant.quantize_kv(vw, cv.dtype), pos[:, 0],
+                     write_mask)
         new_cache = (ck, cv)
         S = ck.shape[2] if headed else ck.shape[1]
         # Mosaic needs the head_dim lane axis % 128 on real TPU (interpret
@@ -481,24 +484,26 @@ def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
     parallel.tp shards the head axis of the flat layout)."""
     if headed is None:
         headed = dtype == jnp.float8_e4m3fn
-    if headed and cfg.max_seq_len == cfg.num_kv_heads:
+    S = cfg.max_seq_len
+    if headed and dtype == jnp.float8_e4m3fn and S % 256 != 0:
+        # The SWAR fp8 upcast needs (page/2) % 128 lanes on hardware; an
+        # unpadded S silently fell back to the ~5x-slower in-kernel astype
+        # (the round-4 dryrun itself tripped the old warning — VERDICT r4
+        # #7). Pad the cache S axis instead: positions stay bounded by
+        # cfg.max_seq_len, the clamped kernel index maps never read past
+        # a slot's own length, so the pad rows cost footprint only
+        # (< 256 * Hkv * d fp8 bytes per sequence), never traffic.
+        S = -(-S // 256) * 256
+    if headed and S == cfg.num_kv_heads:
         # cache_is_headed resolves layout from shapes; S == Hkv would make
         # a headed cache indistinguishable from flat (ADVICE r3) — reject
         # at construction rather than silently attending transposed data
         raise ValueError(
             f"headed cache needs max_seq_len != num_kv_heads "
-            f"(both are {cfg.max_seq_len}); pad max_seq_len")
-    if (headed and dtype == jnp.float8_e4m3fn
-            and cfg.max_seq_len % 256 != 0):
-        import warnings
-        warnings.warn(
-            f"fp8 headed cache with max_seq_len={cfg.max_seq_len} % 256 != 0"
-            " cannot take the SWAR upcast path on hardware ((page/2) % 128"
-            " lane constraint) and falls back to the ~5x-slower in-kernel"
-            " astype; pad max_seq_len to a multiple of 256", stacklevel=2)
-    shape = ((batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
+            f"(both are {S}); pad max_seq_len")
+    shape = ((batch, cfg.num_kv_heads, S, cfg.head_dim)
              if headed else
-             (batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim))
+             (batch, S, cfg.num_kv_heads, cfg.head_dim))
     return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(cfg.num_layers)]
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import llama
+from ..ops.kernels import attention as attn_kernels
 
 
 @dataclasses.dataclass
@@ -132,8 +133,8 @@ def _write_kv(pages_kv, bt_rows, new_k, new_v, pos, page_size,
     def write_one(pages, new):
         P, h, ps, d = pages.shape
         flat = pages.reshape(P * h * ps, d)
-        flat = flat.at[row_idx].set(
-            new.reshape(B * T, h, d).astype(pages.dtype))
+        flat = flat.at[row_idx].set(attn_kernels.quantize_kv(
+            new.reshape(B * T, h, d), pages.dtype))
         return flat.reshape(P, h, ps, d)
 
     return write_one(k_pages, new_k), write_one(v_pages, new_v)

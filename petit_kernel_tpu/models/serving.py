@@ -392,11 +392,9 @@ class Engine:
         job = self._pf[0]
         cap = self.prefill_chunk or PREFILL_CHUNK
         lb, kv_window = self._chunk_key(job)
-        batched = (self._batched_prefill_prog is not None
-                   and type(self)._prefill_chunk is Engine._prefill_chunk)
         group = ([j for j in self._pf
                   if self._chunk_key(j) == (lb, kv_window)]
-                 if batched else [job])
+                 if self._admission_batchable() else [job])
         if len(group) >= 2:
             self._admit_batched(group, lb, kv_window, cap)
             return
@@ -422,6 +420,24 @@ class Engine:
             self.last_tok[slot] = first
             self.generated[job.req.uid] = [first]
 
+    def _admission_batchable(self) -> bool:
+        """Whether _advance_prefill may group same-key jobs into one
+        full-batch admission program. Base engine: yes when the forward
+        takes write_mask and no subclass re-routed the per-slot chunk path
+        (spec draft caches override _prefill_chunk and stay per-slot)."""
+        return (self._batched_prefill_prog is not None
+                and type(self)._prefill_chunk is Engine._prefill_chunk)
+
+    def _run_batched_admission(self, group, toks_b, pos_b, last_b, mask_b,
+                               kv_window) -> jax.Array:
+        """Backend hook: run ONE full-batch masked admission program and
+        return the per-row sampled tokens (device array)."""
+        first, self.cache = self._batched_prefill_prog(
+            self.params, self.cache, toks_b, pos_b, last_b, mask_b,
+            self._next_key(), jnp.asarray(self.temps, jnp.float32),
+            kv_window=kv_window if self._fwd_takes_window else None)
+        return first
+
     def _admit_batched(self, group, lb: int, kv_window: int,
                        cap: int) -> None:
         """One full-batch masked-write program admits one chunk for every
@@ -440,11 +456,9 @@ class Engine:
             last_b[j.slot] = n - 1
             mask_b[j.slot] = True
             ns[j.slot] = n
-        first, self.cache = self._batched_prefill_prog(
-            self.params, self.cache, jnp.asarray(toks_b),
-            jnp.asarray(pos_b), jnp.asarray(last_b), jnp.asarray(mask_b),
-            self._next_key(), jnp.asarray(self.temps, jnp.float32),
-            kv_window=kv_window if self._fwd_takes_window else None)
+        first = self._run_batched_admission(
+            group, jnp.asarray(toks_b), jnp.asarray(pos_b),
+            jnp.asarray(last_b), jnp.asarray(mask_b), kv_window)
         firsts = None
         for j in list(group):
             j.offset += ns[j.slot]
@@ -776,10 +790,20 @@ class SpecEngine(Engine):
                                        cache_dtype)
         self.spec_stats = {"proposed": 0, "accepted": 0, "ticks": 0}
 
+        #: synthetic acceptance floor in [0, 1): each draft position is
+        #: force-accepted with this probability REGARDLESS of agreement.
+        #: 0.0 (default) is the exact greedy path. >0 makes token QUALITY
+        #: meaningless (the target cache keeps draft-token KV inside the
+        #: forced prefix) but leaves the COMPUTE path identical — the knob
+        #: exists so e2e tok/s vs acceptance can be MEASURED on fabricated
+        #: weights with only the acceptance axis synthetic
+        #: (tools/spec_serve_bench.py; VERDICT r4 #6).
+        self.force_accept = 0.0
+
         @functools.partial(jax.jit, donate_argnums=(2, 3),
                            static_argnames=("g", "kv_window"))
         def _spec_tick(params_, dparams, cache, dcache, last_tok, pos,
-                       active, g, kv_window=None):
+                       active, fkey, f_acc, g, kv_window=None):
             """The WHOLE speculative tick as one device program: gamma
             draft forwards (lax.scan), the multi-token target verify, and
             the leading-agreement accept count. The round-2 host loop
@@ -809,6 +833,11 @@ class SpecEngine(Engine):
             # longest agreeing prefix, capped at g-1 (the g-th proposal's
             # KV is never in the draft cache): leading-ones count
             agree = (tgt[:, :g - 1] == drafts[:, :g - 1]).astype(jnp.int32)
+            # synthetic acceptance floor (self.force_accept; measurement
+            # knob, 0.0 in production — see the attribute doc above)
+            force = (jax.random.uniform(fkey, agree.shape)
+                     < f_acc).astype(jnp.int32)
+            agree = jnp.maximum(agree, force)
             n_acc = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)
             return tgt, n_acc, cache, dcache
 
@@ -880,7 +909,8 @@ class SpecEngine(Engine):
         tgt_d, nacc_d, self.cache, self.dcache = self._spec_tick(
             self.params, self.draft_params, self.cache, self.dcache,
             jnp.asarray(self.last_tok), jnp.asarray(self.pos),
-            jnp.asarray(self.active), g=g, kv_window=window)
+            jnp.asarray(self.active), self._next_key(),
+            jnp.float32(self.force_accept), g=g, kv_window=window)
         tgt, n_accs = jax.device_get((tgt_d, nacc_d))   # (B, g+1), (B,)
 
         # host half: per-slot emit of the accepted prefix + bonus token
@@ -966,9 +996,32 @@ class PagedEngine(Engine):
 
         self._pf = []
         self._fwd_takes_window = True
-        # batched contiguous-cache admission does not apply to page pools
-        # (PagedEngine admits through _paged_prefill_prog per slot)
+        # the contiguous-cache batched program does not apply to page
+        # pools; paged admission batches through
+        # _batched_paged_prefill_prog instead (hooks below)
         self._batched_prefill_prog = None
+
+        # Full-batch masked paged admission (VERDICT r4 #4): every queued
+        # prompt whose next chunk shares a (bucket, window) key admits in
+        # ONE donated program — the FP4 weights stream once per chunk
+        # shape instead of once per prompt (a bs=8 burst of short prompts
+        # previously streamed them 8x through the per-slot path). Masked
+        # rows' writes are redirected to the scratch page by
+        # paged._write_kv, so their pages pass through untouched.
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_window",))
+        def _batched_paged_prog(params, pages, bt, toks, pos, last_idx,
+                                mask, key, temps, kv_window=None):
+            logits, pages = paged.forward_paged(
+                params, toks, cfg, pages, bt, pos, page_size=page_size,
+                fmt=self.prefill_fmt, interpret=interpret,
+                kv_window=kv_window, write_mask=mask)
+            lg = jnp.take_along_axis(
+                logits, last_idx[:, None, None], axis=1)[:, 0]    # (B, V)
+            first = sample_next(lg, key, temps, top_k)
+            return first, pages
+
+        self._batched_paged_prefill_prog = _batched_paged_prog
         # jitted full-batch paged forward (score_forward's eval path only;
         # chunk admission uses the donated one-program _prefill_prog below)
         self._prefill_forward = jax.jit(
@@ -1043,6 +1096,22 @@ class PagedEngine(Engine):
         logits, _ = self._prefill_forward(self.params, toks, pc.pages,
                                           pc.block_tables, pos)
         return logits
+
+    def _admission_batchable(self) -> bool:
+        return self._batched_paged_prefill_prog is not None
+
+    def _run_batched_admission(self, group, toks_b, pos_b, last_b, mask_b,
+                               kv_window) -> jax.Array:
+        # grow each admitted slot's block table to cover its padded chunk
+        # (same garbage-tail contract as the per-slot path below)
+        for j in group:
+            self._paged.ensure_capacity(
+                self.pc, j.slot, int(np.asarray(pos_b)[j.slot, -1]) + 1)
+        first, self.pc.pages = self._batched_paged_prefill_prog(
+            self.params, self.pc.pages, self.pc.block_tables, toks_b,
+            pos_b, last_b, mask_b, self._next_key(),
+            jnp.asarray(self.temps, jnp.float32), kv_window=kv_window)
+        return first
 
     def _prefill_chunk(self, slot: int, toks, pos, kv_window=None,
                        last_idx: int = 0, key=None) -> jax.Array:

@@ -659,6 +659,27 @@ def flash_prefill_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
 # (hkv, d) row per sequence: ~2 KB instead of ~17 MB per layer.
 # ---------------------------------------------------------------------------
 
+def quantize_kv(x: jax.Array, dtype) -> jax.Array:
+    """Cast new K/V values to the cache dtype with the narrowing PINNED at
+    x's own dtype.
+
+    Without the barrier, XLA is free to compile the upstream chain
+    f32 -> bf16 (model dtype) -> fp8 (cache dtype) as either two RNE
+    roundings or one fused f32 -> fp8 convert, and it chooses differently
+    per program: round 4's "kv_append hardware mismatch" (tokens equal,
+    cache bytes off by 1 ulp) was exactly this — the pallas-append program
+    and the jnp dynamic_update_slice program quantized the SAME bf16
+    values to different fp8 bytes (localized by tools/kvapp_probe +
+    kvapp_diff2 on v5e, 2026-08-20; the u32-splice kernel itself is
+    bit-exact). The barrier forces the x-dtype value to be a real program
+    point, so every write path stores fp8(bf16(v)) identically. Reference
+    bar: on-device bit-exact round-trips
+    (quantization/fp4/quantization_utils_fp4_test.cc:103-133)."""
+    if x.dtype == dtype:
+        return x
+    return jax.lax.optimization_barrier(x).astype(dtype)
+
+
 def _kv_append_kernel(pos_ref, mask_ref, kn_ref, vn_ref, ck_ref, cv_ref,
                       ok_ref, ov_ref):
     b = pl.program_id(0)
@@ -734,8 +755,9 @@ def kv_append(ck: jax.Array, cv: jax.Array, k_new: jax.Array,
 
         def pack(x):
             return jax.lax.bitcast_convert_type(
-                x.astype(ck.dtype), narrow).astype(jnp.uint32
-                                                   ).reshape(B, Hkv, 1, d)
+                quantize_kv(x, ck.dtype), narrow).astype(jnp.uint32
+                                                         ).reshape(
+                                                             B, Hkv, 1, d)
         kn = pack(k_new)
         vn = pack(v_new)
         kernel = functools.partial(_kv_append_kernel_headed, epw=epw)
@@ -747,8 +769,8 @@ def kv_append(ck: jax.Array, cv: jax.Array, k_new: jax.Array,
         idx = lambda b, pos, m: (b, pos[b], 0, 0)
         new_spec = pl.BlockSpec((1, 1, Hkv, d),
                                 lambda b, pos, m: (b, 0, 0, 0))
-        kn = k_new.reshape(B, 1, Hkv, d).astype(ck.dtype)
-        vn = v_new.reshape(B, 1, Hkv, d).astype(cv.dtype)
+        kn = quantize_kv(k_new.reshape(B, 1, Hkv, d), ck.dtype)
+        vn = quantize_kv(v_new.reshape(B, 1, Hkv, d), cv.dtype)
         kernel = _kv_append_kernel
         grid = (B,)
         semantics = ("arbitrary",)

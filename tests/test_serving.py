@@ -101,6 +101,28 @@ def test_batched_admission_matches_per_slot(setup):
     assert out_b == out_s
 
 
+def test_paged_batched_admission_matches_per_slot(setup):
+    """PagedEngine analog of the burst-admission pin (VERDICT r4 #4): a
+    burst of same-bucket prompts admits through ONE full-batch masked
+    paged program (weights stream once per chunk shape; masked rows'
+    writes go to the scratch page); tokens must equal the per-slot paged
+    admission path exactly."""
+    cfg, params = setup
+    qp = llama.quantize_params(params, "nvfp4")
+    reqs = lambda: [serving.Request(uid=i, tokens=p, max_new_tokens=6)
+                    for i, p in enumerate(_PROMPTS)]
+    eng_b = serving.PagedEngine(qp, cfg, max_batch=4, fmt="nvfp4",
+                                page_size=8, interpret=True)
+    assert eng_b._admission_batchable()
+    out_b = eng_b.run(reqs())
+    eng_s = serving.PagedEngine(qp, cfg, max_batch=4, fmt="nvfp4",
+                                page_size=8, interpret=True)
+    eng_s._batched_paged_prefill_prog = None    # force per-slot admission
+    assert not eng_s._admission_batchable()
+    out_s = eng_s.run(reqs())
+    assert out_b == out_s
+
+
 def test_engine_slot_reuse(setup):
     cfg, params = setup
     eng = serving.Engine(params, cfg, max_batch=1)
@@ -549,9 +571,11 @@ def test_engine_tp_fp8_headed_cache_matches_single_device(setup):
     qtp = par.quantize_params_tp(params, cfg, mesh, fmt="nvfp4")
     step = tp_mod.make_tp_step(cfg, mesh, fmt="nvfp4")
     cache = tp_mod.init_cache_tp(cfg, 2, mesh, dtype=jnp.float8_e4m3fn)
-    # the fp8 default really is headed, sharded on the head axis
+    # the fp8 default really is headed, sharded on the head axis, with S
+    # auto-padded to % 256 (the SWAR lane constraint; VERDICT r4 #7)
     ck0 = cache[0][0]
-    assert ck0.shape == (2, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
+    s_pad = -(-cfg.max_seq_len // 256) * 256
+    assert ck0.shape == (2, cfg.num_kv_heads, s_pad, cfg.head_dim)
     eng_tp = serving.Engine(qtp, cfg, max_batch=2, forward_fn=step,
                             cache=cache)
     got = eng_tp.run(reqs())
@@ -563,16 +587,34 @@ def test_engine_tp_fp8_headed_cache_matches_single_device(setup):
 
 def test_init_cache_headed_ambiguous_shape_rejected():
     cfg = llama.LlamaConfig.tiny(max_seq_len=2, num_kv_heads=2)
+    # bf16 headed caches are not auto-padded, so S == Hkv stays ambiguous
     with pytest.raises(ValueError, match="max_seq_len"):
-        llama.init_cache(cfg, 1, jnp.float8_e4m3fn)
+        llama.init_cache(cfg, 1, jnp.bfloat16, headed=True)
     # flat layout is fine at the same shape
     llama.init_cache(cfg, 1, jnp.bfloat16)
 
 
-def test_init_cache_fp8_unaligned_seq_warns():
-    cfg = llama.LlamaConfig.tiny(max_seq_len=192)
-    with pytest.warns(UserWarning, match="SWAR"):
-        llama.init_cache(cfg, 1, jnp.float8_e4m3fn)
+def test_init_cache_fp8_unaligned_seq_autopads():
+    """fp8 headed caches pad S to % 256 so the SWAR upcast is always legal
+    on hardware — the old behavior (warn + silently run the ~5x-slower
+    astype fallback) was a footgun the round-4 dryrun itself tripped
+    (VERDICT r4 #7). Positions stay bounded by cfg.max_seq_len; pad rows
+    are never read (clamped index maps), so this costs footprint only."""
+    cfg = llama.LlamaConfig.tiny(max_seq_len=192, num_kv_heads=2,
+                                 head_dim=64)
+    cache = llama.init_cache(cfg, 1, jnp.float8_e4m3fn)
+    ck, cv = cache[0]
+    assert ck.shape == (1, 2, 256, 64)           # headed, S padded
+    assert cv.shape == ck.shape
+    # the fp8 ambiguity case is resolved by the pad, not rejected
+    cfg2 = llama.LlamaConfig.tiny(max_seq_len=2, num_kv_heads=2)
+    ck2, _ = llama.init_cache(cfg2, 1, jnp.float8_e4m3fn)[0]
+    assert ck2.shape[2] == 256
+    # aligned sizes are untouched
+    cfg3 = llama.LlamaConfig.tiny(max_seq_len=512, num_kv_heads=2,
+                                  head_dim=64)
+    ck3, _ = llama.init_cache(cfg3, 1, jnp.float8_e4m3fn)[0]
+    assert ck3.shape[2] == 512
 
 
 def test_pipelined_drain_matches_single_step(setup):

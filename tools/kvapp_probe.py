@@ -43,10 +43,11 @@ def jnp_append(ck, cv, k_new, v_new, pos, mask=None, *, headed=False,
         return jax.lax.dynamic_update_slice(
             c, jnp.where(a, new, old), start(s))
 
+    from petit_kernel_tpu.ops.kernels.attention import quantize_kv
     m = jnp.ones((B,), bool) if mask is None else mask
     upd = jax.vmap(upd1)
-    return (upd(ck, kw.astype(ck.dtype), pos, m),
-            upd(cv, vw.astype(cv.dtype), pos, m))
+    return (upd(ck, quantize_kv(kw, ck.dtype), pos, m),
+            upd(cv, quantize_kv(vw, cv.dtype), pos, m))
 
 
 def decode_tokens(params, cfg, cache, n_steps, mask):
@@ -91,14 +92,39 @@ def main():
             finally:
                 attn_mod.kv_append = orig
             tok_eq = np.array_equal(t_k, t_j)
+            # BYTE comparison, not float: fp8 NaN bytes (values past +-448
+            # in this random-init toy) made np.array_equal(float32) report
+            # False on bit-identical caches in round 4 — the "hardware
+            # mismatch" was this probe's own NaN semantics, confirmed by
+            # tools/kvapp_diff2.py finding zero byte diffs on v5e.
             cache_eq = True
-            for (k1, v1), (k2, v2) in zip(c_k, c_j):
-                cache_eq &= np.array_equal(
-                    np.asarray(k1, np.float32), np.asarray(k2, np.float32))
-                cache_eq &= np.array_equal(
-                    np.asarray(v1, np.float32), np.asarray(v2, np.float32))
+            nan_rows = 0
+            for li, ((k1, v1), (k2, v2)) in enumerate(zip(c_k, c_j)):
+                for an, a, b_ in (("K", k1, k2), ("V", v1, v2)):
+                    ab = np.asarray(a).view(np.uint8)
+                    bb = np.asarray(b_).view(np.uint8)
+                    if not np.array_equal(ab, bb):
+                        cache_eq = False
+                        # headed (B, Hkv, S, d) or flat (B, S, Hkv, d):
+                        # report which (b, s) rows differ
+                        d4 = (ab != bb).reshape(a.shape[0], a.shape[1],
+                                                a.shape[2], -1).any(-1)
+                        wh = np.argwhere(d4)
+                        axes = sorted(set((int(x), int(y))
+                                          for x, y, z in wh))
+                        print(f"#   L{li} {an}: {len(wh)} rows differ; "
+                              f"(b, dim1) set={axes[:8]}; dim2 range="
+                              f"[{wh[:,2].min()}, {wh[:,2].max()}]",
+                              flush=True)
+                        b0, x0, y0 = (int(t) for t in wh[0])
+                        print(f"#     sample b={b0} [{x0},{y0}]: kern="
+                              f"{ab[b0, x0, y0, :6].tolist()} jnp="
+                              f"{bb[b0, x0, y0, :6].tolist()}", flush=True)
+                    nan_rows += int(np.isnan(
+                        np.asarray(a, np.float32)).sum())
             print(f"# {name:11s} mask={mk:6s}: tokens_equal={tok_eq} "
-                  f"cache_equal={bool(cache_eq)}", flush=True)
+                  f"cache_equal={bool(cache_eq)} nan_elems={nan_rows}",
+                  flush=True)
             ok_all = ok_all and tok_eq and bool(cache_eq)
     print({"kv_append_hw_exact": ok_all})
     sys.exit(0 if ok_all else 1)

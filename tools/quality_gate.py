@@ -241,6 +241,85 @@ def recon_stats(fmts, params, rng) -> dict:
     return out
 
 
+# -- KV-cache numerics leg (VERDICT r4 #5) ---------------------------------
+
+def quantize_kv_int4(x, dtype):
+    """Int4-KV canary write hook: symmetric per-(row, head) absmax int4
+    round-trip of every K/V value before it enters the cache — 4 bits with
+    no exponent, strictly lossier than fp8 e4m3's ~4 significant bits plus
+    full exponent range. The KV leg must REJECT this."""
+    import jax.numpy as jnp
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 7.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.round(xf / s), -7, 7)
+    return (q * s).astype(dtype)
+
+
+def score_kv_leg(params, cfg, qs, correct_pairs, ho_toks, ho_tgt,
+                 nll_tol: float, tol: float) -> dict:
+    """Score the trained model THROUGH the serving engine (its jitted
+    prefill graphs and cache write paths) per KV dtype: bf16 cache, fp8
+    headed-SWAR cache, and an int4-KV canary that must fail. The weight
+    format is held at bf16 so the deltas isolate the CACHE numerics —
+    attention Q@K and P@V products go through the quantized cache in
+    llama.attention's flash-prefill path. NLL-delta criterion, same
+    discipline as the weight legs (reference bar: a measured accuracy
+    delta for every numerics change, reference README.md:3)."""
+    import jax.numpy as jnp
+    from petit_kernel_tpu.models import eval as ev, serving
+    from petit_kernel_tpu.ops.kernels import attention as attn_mod
+
+    def run(kv_dtype, canary=False):
+        # dense params ride llama.linear's dense path whatever fmt says;
+        # the deltas below are pure cache numerics
+        eng = serving.Engine(params, cfg, max_batch=8,
+                             cache_dtype=kv_dtype, interpret=True)
+        orig = attn_mod.quantize_kv
+        if canary:
+            attn_mod.quantize_kv = quantize_kv_int4
+            # dtype-equal early return in the write paths would skip the
+            # hook for a bf16 cache; route through llama's dus path, which
+            # always calls quantize_kv
+        try:
+            acc, _ = ev.score_multiple_choice(None, cfg, qs, engine=eng)
+            ll = ev.loglikelihood(None, cfg, correct_pairs, engine=eng)
+            g_hits = []
+            B = eng.B
+            for s0 in range(0, len(ho_toks), B):
+                tb = np.asarray(ho_toks[s0:s0 + B])
+                n = len(tb)
+                if n < B:
+                    tb = np.concatenate(
+                        [tb, np.zeros((B - n, tb.shape[1]), np.int32)])
+                logits = eng.score_forward(jnp.asarray(tb))
+                pred = np.asarray(jnp.argmax(logits[:, -1], -1))[:n]
+                g_hits.append(pred == np.asarray(ho_tgt[s0:s0 + n]))
+            g = float(np.concatenate(g_hits).mean())
+        finally:
+            attn_mod.quantize_kv = orig
+        return acc, float(-np.mean(ll)), g
+
+    import jax.numpy as jnp2
+    out = {}
+    legs = [("bf16", jnp2.bfloat16, False),
+            ("fp8", jnp2.float8_e4m3fn, False),
+            ("int4kv", jnp2.bfloat16, True)]
+    for name, dt, canary in legs:
+        acc, nll, g = run(dt, canary)
+        out[name] = {"acc": round(acc, 4), "nll": round(nll, 4),
+                     "greedy": round(g, 4)}
+    base = out["bf16"]
+    for name in ("fp8", "int4kv"):
+        row = out[name]
+        row["delta_nll"] = round(row["nll"] - base["nll"], 4)
+        row["pass"] = bool(base["acc"] - row["acc"] <= tol
+                           and base["greedy"] - row["greedy"] <= tol
+                           and row["nll"] - base["nll"] <= nll_tol)
+    out["gate_can_fail"] = bool(not out["int4kv"]["pass"])
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
@@ -257,6 +336,10 @@ def main():
                          "at +0.028 — 0.015 splits them with ~3x margin "
                          "on each side)")
     ap.add_argument("--no-canary", action="store_true")
+    ap.add_argument("--kv", action="store_true",
+                    help="also gate KV-cache numerics: bf16 vs fp8 caches "
+                         "scored THROUGH the serving engine, plus an "
+                         "int4-KV canary that must fail (VERDICT r4 #5)")
     ap.add_argument("--quant-head", action="store_true",
                     help="also quantize lm_head in each scored format "
                          "(gates serve_bench --lm-head-fp4 / "
@@ -334,10 +417,19 @@ def main():
     res["gate_can_fail"] = bool(not args.no_canary
                                 and not res["pass"].get("int3g64", True))
     res["delta_max"] = max(res["delta_acc"][f] for f in fmts)
+    kv_ok = True
+    if args.kv:
+        res["kv"] = score_kv_leg(params, cfg, qs, correct_pairs, ho_toks,
+                                 ho_tgt, args.nll_tol, args.tol)
+        kv_ok = res["kv"]["gate_can_fail"]
     print(json.dumps(res))
     if not args.no_canary and not res["gate_can_fail"]:
         print("# GATE SATURATED: canary int3g64 was not rejected — "
               "this run certifies nothing", file=sys.stderr)
+        sys.exit(1)
+    if not kv_ok:
+        print("# KV GATE SATURATED: int4-KV canary was not rejected",
+              file=sys.stderr)
         sys.exit(1)
 
 

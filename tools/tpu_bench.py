@@ -155,6 +155,42 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                     b = fused._apply_scales(b, sc, 16)
             acc_ref[:] += jnp.dot(a_refs[j][:], b,
                                   preferred_element_type=jnp.float32)
+    elif stage in ("v6intsc_nz", "v6_nz"):
+        # ZERO-FREE timing models (round 5): the stored-zero flag/mask
+        # pipeline (z, c, mask-mul, and) is 24 of the pow2 path's ~38
+        # lane-ops per packed word. These variants decode as if the format
+        # had no zero code — values are WRONG wherever a stored zero sits
+        # (timing only): v6intsc_nz = pow2 int-exponent scales, no mask;
+        # v6_nz = exact path, unconditional bias + bf16 slab multiply.
+        for j in range(4):
+            if j == 0:
+                y = w_ref[:] & np.uint32(0x81C081C0)
+            elif j < 3:
+                y = (w_ref[:] << np.uint32(3 * j)) & np.uint32(0x81C081C0)
+            else:
+                y = (((w_ref[:] >> np.uint32(4)) & np.uint32(0x00C000C0))
+                     | ((w_ref[:] >> np.uint32(5)) & np.uint32(0x01000100))
+                     | ((w_ref[:] << np.uint32(1)) & np.uint32(0x80008000)))
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            if stage == "v6intsc_nz":
+                sc32 = pltpu.bitcast(sc[0:8], jnp.uint32) \
+                    - np.uint32(0x00800080)
+                for ch in range(y.shape[0] // 64):
+                    slab32 = pltpu.repeat(sc32[ch * 4:(ch + 1) * 4], 16,
+                                          axis=0)
+                    b2 = pltpu.bitcast(
+                        y[ch * 64:(ch + 1) * 64] + slab32, jnp.bfloat16)
+                    acc_ref[:] += jnp.dot(
+                        a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                        preferred_element_type=jnp.float32)
+            else:
+                b = pltpu.bitcast(y + np.uint32(0x3F003F00), jnp.bfloat16)
+                for ch in range(b.shape[0] // 128):
+                    slab = pltpu.repeat(sc[ch * 8:(ch + 1) * 8], 16, axis=0)
+                    b2 = b[ch * 128:(ch + 1) * 128] * slab
+                    acc_ref[:] += jnp.dot(
+                        a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                        preferred_element_type=jnp.float32)
     elif stage in ("v6nomul", "v6norep", "v6intsc"):
         # bisect the v6 scale path: nomul = repeat slab but dot unscaled
         # deq (slab consumed cheaply); norep = multiply by an (8,C) const
