@@ -104,10 +104,16 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
                                          dtype=np.uint8))
                 b = pk.repack_nvfp4(qw, n, k)
                 s = pk.process_nvfp4_scales(scales, n, k)
-            elif fmt == "nvfp4p2":
+            elif fmt in ("nvfp4p2", "nvfp4p2z"):
                 # pow2 E4M3 scale bytes only: the nvfp4p2 contract
                 scales = (rng.integers(4, 11, size=(n, k // group),
                                        dtype=np.uint8) << 3)
+                if fmt == "nvfp4p2z":
+                    # zero-free contract: strip zero codes (0=+0, 8=-0)
+                    lo, hi = qw & 0xF, qw >> 4
+                    lo = np.where(lo == 0, 1, np.where(lo == 8, 9, lo))
+                    hi = np.where(hi == 0, 1, np.where(hi == 8, 9, hi))
+                    qw = (lo | (hi << 4)).astype(np.uint8)
                 b = pk.repack_nvfp4(qw, n, k)
                 s = pk.process_nvfp4_scales(scales, n, k)
             else:
@@ -130,6 +136,7 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
             sid = -1
 
         mul = {"nvfp4": pk.mul_nvfp4_a16, "nvfp4p2": pk.mul_nvfp4p2_a16,
+               "nvfp4p2z": pk.mul_nvfp4p2z_a16,
                "w4a8": pk.mul_nvfp4_a8, "mxfp4": pk.mul_mxfp4_a16}[fmt]
 
         def fp4_call(a2, b2, s2):
@@ -203,7 +210,8 @@ def main():
     p.add_argument("--shard70b", action="store_true",
                    help="Llama-70B 8-way TP shard shapes instead")
     p.add_argument("--format",
-                   choices=("nvfp4", "mxfp4", "nvfp4p2", "w4a8", "hybrid"),
+                   choices=("nvfp4", "mxfp4", "nvfp4p2", "nvfp4p2z", "w4a8",
+                            "hybrid"),
                    default="nvfp4")
     p.add_argument("--n1", type=int, default=20)
     p.add_argument("--n2", type=int, default=None)
@@ -229,12 +237,16 @@ def main():
     # quality-gate delta 0.0, tools/quality_gate.py) — and report it as the
     # headline with the exact-E4M3 numbers alongside.
     extra = None
+    extra_z = None
     if (args.format == "nvfp4" and not args.trace and not args.shard70b
             and not args.full):
         extra = run(cases, args.tune, args.n1, args.n2, fmt="nvfp4p2")
+        # zero-free pow2 (nvfp4p2z): flag-free decode at the DMA floor;
+        # gate row in tools/quality_gate.py --fmts ...,nvfp4p2z
+        extra_z = run(cases, args.tune, args.n1, args.n2, fmt="nvfp4p2z")
 
     if args.verbose:
-        for r in results + (extra or []):
+        for r in results + (extra or []) + (extra_z or []):
             wgb = (r["n"] * r["k"] / 2
                    + r["n"] * r["k"] / r["group"] * 2) / 1e9
             print(f"# m={r['m']:4d} n={r['n']:6d} k={r['k']:6d} "
@@ -268,6 +280,10 @@ def main():
             "nvfp4_exact_tflops": round(_geo(decode, "tflops"), 3),
             "nvfp4_exact_vs_baseline": round(_geo(decode, "speedup"), 3),
         }
+        if extra_z:
+            dz = [r for r in extra_z if r["m"] == 16]
+            line["nvfp4p2z_tflops"] = round(_geo(dz, "tflops"), 3)
+            line["nvfp4p2z_vs_baseline"] = round(_geo(dz, "speedup"), 3)
     print(json.dumps(line))
 
 

@@ -101,6 +101,9 @@ def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
     elif fmt == "nvfp4p2":  # pow2-scale NVFP4: int-scale kernel fast path
         qw, scales, gs = ref_numerics.quantize_nvfp4_pow2(w)
         group = 16
+    elif fmt == "nvfp4p2z":  # zero-free pow2: flag-free decode at the
+        qw, scales, gs = ref_numerics.quantize_nvfp4_pow2z(w)  # DMA floor
+        group = 16
     else:
         qw, scales, gs = ref_numerics.quantize_mxfp4(w)
         group = 32
@@ -110,6 +113,12 @@ def quantize_linear(w_kn: np.ndarray, fmt: str = "nvfp4") -> dict:
     st = layout_mod.process_fp4_scales(scales, n, k, group_size=group)
     return {"words": jnp.asarray(words), "scales": jnp.asarray(st),
             "gs": jnp.float32(gs)}
+
+
+# w4a8 -> exact-nvfp4 routing threshold (measured; see linear() below).
+# Engines that want the raw w4a8 kernel at any m (tools/w4a8_midm.py
+# measurements) call gemm.mul_nvfp4_a8 directly.
+W4A8_MIN_M = 256
 
 
 def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
@@ -132,7 +141,18 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
     else:
         n = layer["words"].shape[1]
         # fmt="hybrid" layers too narrow to split fall back to pure nvfp4
-        pure_fmt = fmt if fmt in ("mxfp4", "nvfp4p2", "w4a8") else "nvfp4"
+        pure_fmt = (fmt if fmt in ("mxfp4", "nvfp4p2", "nvfp4p2z",
+                                   "w4a8") else "nvfp4")
+        if pure_fmt == "w4a8" and m < W4A8_MIN_M:
+            # Measured crossover guardrail (VERDICT r4 #8): the in-kernel
+            # int8 requant makes w4a8 LOSE to the bf16-MXU exact kernel
+            # below m ~ 256 (tools/w4a8_midm.py: m=128 gate/up 1.01x/down
+            # 0.93x vs dense, m=256 0.97x/0.90x, winning only from ~m=300;
+            # vs the NVFP4 prefill alternative it wins from m=256). Same
+            # container (nvfp4 words/scales), so small-m calls route to
+            # the exact kernel instead of silently running the losing
+            # regime — e.g. a single short prompt admitting alone.
+            pure_fmt = "nvfp4"
         if pure_fmt == "w4a8" and "r_t" in layer:
             # precomputed requant constants (serving engines add them at
             # init): skips the per-call scale pass — measured as part of
@@ -144,6 +164,7 @@ def linear(x: jax.Array, layer: dict, *, fmt: str = "nvfp4",
         elif interpret:
             mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
                    "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+                   "nvfp4p2z": gemm_mod.mul_nvfp4p2z_a16,
                    "w4a8": gemm_mod.mul_nvfp4_a8,
                    "mxfp4": gemm_mod.mul_mxfp4_a16}[pure_fmt]
             y = mul(x2, layer["words"], layer["scales"], layer["gs"], m, n,

@@ -42,13 +42,22 @@ def fp4_decode(nibbles: np.ndarray) -> np.ndarray:
     return FP4_VALUES[nibbles & 0xF]
 
 
-def fp4_encode(values: np.ndarray) -> np.ndarray:
+def fp4_encode(values: np.ndarray, zero_free: bool = False) -> np.ndarray:
     """Encode float values to the nearest E2M1 nibble (round-to-nearest-even).
 
     Ties between two representable magnitudes round to the one with the even
     mantissa bit, matching IEEE RN semantics on the 8-entry magnitude table.
     Out-of-range magnitudes saturate to +-6.  Used by the quantizer that
     fabricates NVFP4/MXFP4 checkpoints for tests and model conversion.
+
+    zero_free: round to the nearest NONZERO magnitude (min +-0.5) — the
+    "nvfp4p2z" extension's value rounding. Magnitudes below 0.25 take up to
+    2x the error of exact E2M1 rounding (0.5 step instead of 0.25 max), in
+    exchange for a decode kernel with NO stored-zero flag pipeline — the
+    flag is 18-19 us of the ~89 us pow2 kernel on v5e, the only VPU cost
+    that does not hide under the weight DMA (tools/tpu_bench.py round-5
+    bisection: v6intsc 88.8 vs v6intsc_nz 70.5 vs pure-stream+dots 69.7).
+    Quality-gate before adopting (tools/quality_gate.py).
     """
     v = np.asarray(values, dtype=np.float32)
     sign = (np.signbit(v)).astype(np.uint8)
@@ -57,6 +66,8 @@ def fp4_encode(values: np.ndarray) -> np.ndarray:
     # Midpoints between consecutive magnitudes; ties -> even index.
     mids = (table[:-1] + table[1:]) / 2.0  # [.25, .75, 1.25, 1.75, 2.5, 3.5, 5]
     idx = np.searchsorted(mids, mag, side="left").astype(np.uint8)
+    if zero_free:
+        idx = np.maximum(idx, np.uint8(1))
     # searchsorted(side='left') keeps exact midpoints at the lower index i;
     # IEEE RNE demands the even-codepoint side, so bump ties up when the
     # upper index is even.

@@ -106,7 +106,8 @@ def quantize_nvfp4(w: np.ndarray, global_scale: float | None = None):
     return formats.pack_fp4_pairs(q.reshape(n, k)), scales, global_scale
 
 
-def quantize_nvfp4_pow2(w: np.ndarray, global_scale: float | None = None):
+def quantize_nvfp4_pow2(w: np.ndarray, global_scale: float | None = None,
+                        zero_free: bool = False):
     """NVFP4 with POWER-OF-TWO per-group scales ("nvfp4p2"): same container
     format as quantize_nvfp4 (E2M1 nibbles, E4M3 scale bytes, f32 global
     scale, group size 16) but every stored scale is an exact power of two.
@@ -153,8 +154,20 @@ def quantize_nvfp4_pow2(w: np.ndarray, global_scale: float | None = None):
     s_dec = formats.e4m3_decode(scales)
     denom = s_dec * global_scale
     denom = np.where(denom == 0, 1.0, denom)
-    q = formats.fp4_encode(wg / denom[:, :, None])
+    q = formats.fp4_encode(wg / denom[:, :, None], zero_free=zero_free)
     return formats.pack_fp4_pairs(q.reshape(n, k)), scales, global_scale
+
+
+def quantize_nvfp4_pow2z(w: np.ndarray, global_scale: float | None = None):
+    """The "nvfp4p2z" extension: nvfp4p2 with ZERO-FREE value rounding —
+    no element ever stores the zero code, so the fused kernel skips the
+    stored-zero flag/mask pipeline entirely (SolutionId.zero_free) and
+    runs at the weight-stream DMA floor (measured: the flag is the only
+    pow2-path VPU cost that does not hide under the DMA;
+    tools/tpu_bench.py round 5). Same container as nvfp4p2. Accuracy
+    trade: near-zero weights round to +-0.5*2^e instead of 0 (<= 2x their
+    exact-E2M1 rounding error) — gate with tools/quality_gate.py."""
+    return quantize_nvfp4_pow2(w, global_scale, zero_free=True)
 
 
 def requantize_nvfp4_pow2(qweights: np.ndarray, scales: np.ndarray,
@@ -200,7 +213,8 @@ def dequant_fp4_device(qweights, scales, *, fmt: str = "nvfp4"):
 
     n, kb = qweights.shape
     k = kb * 2
-    g = (formats.NVFP4_GROUP_SIZE if fmt in ("nvfp4", "nvfp4p2", "w4a8")
+    g = (formats.NVFP4_GROUP_SIZE
+         if fmt in ("nvfp4", "nvfp4p2", "nvfp4p2z", "w4a8")
          else formats.MXFP4_GROUP_SIZE)
     assert scales.shape == (n, k // g), (scales.shape, (n, k // g))
     q = jnp.asarray(qweights)

@@ -180,7 +180,8 @@ def _validate_and_prepare(a, b, s, m, n, k, group: int):
 
 def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
          element_b: ElementB, interpret: bool = False,
-         hints: Optional[SolutionHints] = None, pow2_scale: bool = False):
+         hints: Optional[SolutionHints] = None, pow2_scale: bool = False,
+         zero_free: bool = False):
     if size_m == 0 or size_n == 0 or size_k == 0:
         return jnp.zeros((size_m, size_n), dtype=jnp.asarray(a).dtype)
     group = 16 if element_b == ElementB.NVFP4 else 32
@@ -199,6 +200,10 @@ def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
         # no pow2-tuned entry: reuse the NVFP4 tuned/heuristic block shape
         # with the in-kernel scale apply switched to the int path
         sid = dataclasses.replace(sid, pow2_scale=True)
+    if zero_free and sid.pow2_scale and not sid.high_precision:
+        # nvfp4p2z rides the nvfp4p2 tuned entries (same block optima —
+        # the flag removal only shrinks VPU time) with the mask dropped
+        sid = dataclasses.replace(sid, zero_free=True)
     # fp16 activations: TPU MXU is bf16/f32-native; compute in bf16 (or f32
     # with a high-precision solution) and cast back. Documented deviation
     # from the reference's true-fp16 MFMA path.
@@ -303,6 +308,21 @@ def mul_nvfp4p2_a16(a, b, s, global_scale, size_m, size_n, size_k,
                 pow2_scale=True)
 
 
+def mul_nvfp4p2z_a16(a, b, s, global_scale, size_m, size_n, size_k,
+                     solution_id: int = -1, *, interpret: bool = False,
+                     hints: Optional[SolutionHints] = None):
+    """ZERO-FREE nvfp4p2 ("nvfp4p2z", numerics/reference.
+    quantize_nvfp4_pow2z): same container as nvfp4p2, but the tensor
+    contract guarantees no stored-zero codes, so the kernel drops the
+    stored-zero flag/mask pipeline — measured round 5 as the only pow2
+    VPU cost that does not hide under the weight DMA (88.8 -> ~70 us at
+    (16,8192,8192) on v5e; the pure stream+dots floor). ONLY valid for
+    quantize_nvfp4_pow2z tensors: any stored zero decodes to garbage."""
+    return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+                ElementB.NVFP4, interpret=interpret, hints=hints,
+                pow2_scale=True, zero_free=True)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable wrapper (custom VJP): lets gradients flow through the fused
 # kernel for LoRA-style finetuning / the multichip train dry run. Forward is
@@ -315,6 +335,7 @@ def mul_nvfp4p2_a16(a, b, s, global_scale, size_m, size_n, size_k,
 def mul_fp4_diff(fmt: str, size_k: int, a, b, s, gs):
     m, n = a.shape[0], b.shape[1]
     mul = {"nvfp4": mul_nvfp4_a16, "nvfp4p2": mul_nvfp4p2_a16,
+           "nvfp4p2z": mul_nvfp4p2z_a16,
            "w4a8": mul_nvfp4_a8, "mxfp4": mul_mxfp4_a16}[fmt]
     return mul(a, b, s, gs, m, n, size_k, -1)
 

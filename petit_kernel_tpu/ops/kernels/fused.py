@@ -176,9 +176,25 @@ def _int_scale_quarter(y: jax.Array, c: jax.Array, sc: jax.Array):
         yield ch, pltpu.bitcast(bits, jnp.bfloat16)
 
 
+def _int_scale_quarter_nz(y: jax.Array, sc: jax.Array):
+    """_int_scale_quarter for ZERO-FREE tensors (SolutionId.zero_free,
+    "nvfp4p2z"): the quantizer contract guarantees no stored-zero codes,
+    so the carry-flag nonzero mask is dropped — the scale apply is ONE
+    packed add per chunk. This removes the only pow2-path VPU cost that
+    does not hide under the weight DMA (measured round 5: 88.8 -> ~70 us
+    at (16,8192,8192), the pure stream+dots floor). Padded k rows decode
+    to garbage exactly as in the masked path and are killed by A's zero
+    padding; padded n columns are sliced off by the host wrapper."""
+    sc32 = pltpu.bitcast(sc, jnp.uint32) - np.uint32(0x00800080)
+    for ch in range(y.shape[0] // 64):
+        slab32 = pltpu.repeat(sc32[ch * 4:(ch + 1) * 4], 16, axis=0)
+        yield ch, pltpu.bitcast(y[ch * 64:(ch + 1) * 64] + slab32,
+                                jnp.bfloat16)
+
+
 def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
                   out_ref, acc_ref, *, nk: int, high_precision: bool,
-                  int_scale: bool = False):
+                  int_scale: bool = False, zero_free: bool = False):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -190,10 +206,14 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
     if int_scale:
         for j in range(4):
             y = _extract_quarter(w_ref[:], j)
-            z = y ^ _ZXOR
-            c = (z + _CADD) & _CMASK
             a = a_refs[j][:]
-            for ch, b in _int_scale_quarter(y, c, s_refs[j][:]):
+            if zero_free:
+                quarters = _int_scale_quarter_nz(y, s_refs[j][:])
+            else:
+                z = y ^ _ZXOR
+                c = (z + _CADD) & _CMASK
+                quarters = _int_scale_quarter(y, c, s_refs[j][:])
+            for ch, b in quarters:
                 acc_ref[:] += jnp.dot(a[:, ch * 128:(ch + 1) * 128], b,
                                       preferred_element_type=jnp.float32)
 
@@ -238,7 +258,8 @@ def _fused_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
 
 def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
                      out_ref, acc_ref, bc_ref, *, nk: int,
-                     high_precision: bool, int_scale: bool = False):
+                     high_precision: bool, int_scale: bool = False,
+                     zero_free: bool = False):
     """Weight-cache variant: grid (nn, nm, nk). At the first m-block of each
     n-block, decode+scale this k-step's weights into the k-resident VMEM
     cache bc_ref (4, kp/4, bn); every m-block's dots read the cache — the
@@ -258,8 +279,12 @@ def _fused_kernel_wc(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
         for j in range(4):
             if int_scale:
                 y = _extract_quarter(w_ref[:], j)
-                c = ((y ^ _ZXOR) + _CADD) & _CMASK
-                for ch, b in _int_scale_quarter(y, c, s_refs[j][:]):
+                if zero_free:
+                    quarters = _int_scale_quarter_nz(y, s_refs[j][:])
+                else:
+                    c = ((y ^ _ZXOR) + _CADD) & _CMASK
+                    quarters = _int_scale_quarter(y, c, s_refs[j][:])
+                for ch, b in quarters:
                     bc_ref[kk, j, ch * 128:(ch + 1) * 128, :] = b
                 continue
             deq = decode_quarter(w_ref[:], j)
@@ -364,7 +389,8 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
             high_precision=sid.high_precision,
             int_scale=((sid.element_b == ElementB.MXFP4
                         or sid.pow2_scale)
-                       and not sid.high_precision))
+                       and not sid.high_precision),
+            zero_free=sid.zero_free and not sid.high_precision)
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
         def a_map(j):
@@ -385,7 +411,8 @@ def fused_mul(a: jax.Array, words: jax.Array, scales_t: jax.Array,
             # (_int_scale_quarter); high-precision keeps the f32 mul path
             int_scale=((sid.element_b == ElementB.MXFP4
                         or sid.pow2_scale)
-                       and not sid.high_precision))
+                       and not sid.high_precision),
+            zero_free=sid.zero_free and not sid.high_precision)
         semantics = ("parallel", "parallel", "arbitrary")
 
     a_specs = [pl.BlockSpec((bm, kb4), a_map(j), memory_space=pltpu.VMEM)

@@ -301,9 +301,18 @@ def process_fp4_scales(scales, size_n: int, size_k: int, *,
         # kernel. Also lifts the MXFP4 block_k % 1024 restriction.
         out = np.repeat(out, 2, axis=0)
     kp = padded_k(size_k, pad_multiple(group_size))
-    if kp != size_k:  # zero scales for the padded (all-zero-value) k region
-        pad = np.zeros(((kp - size_k) // SCALE_STRIDE, size_n),
-                       ml_dtypes.bfloat16)
+    if kp != size_k:
+        # Padded (all-zero-value) k region: scale rows get 2^-126, the
+        # smallest bf16 normal, NOT 0. With 2^-126 the int-scale add is a
+        # no-op (bits(2^-126) - 0x80 == 0), so padded rows decode to the
+        # stored-zero subnormal in EVERY kernel path — including the
+        # zero-free nvfp4p2z kernel, where a zero scale used to wrap the
+        # packed subtraction into NaN bf16 bits and 0 * NaN poisoned the
+        # whole accumulator (found round 5). The exact path's slab
+        # multiply underflows 2^-127 * 2^-126 to the same 0 the old zero
+        # scale produced; A's zero k-padding keeps all contributions 0.
+        pad = np.full(((kp - size_k) // SCALE_STRIDE, size_n),
+                      ml_dtypes.bfloat16(2.0 ** -126), ml_dtypes.bfloat16)
         out = np.concatenate([out, pad], axis=0)
     return out
 

@@ -73,6 +73,14 @@ class SolutionId:
     # processed scales to be exact bf16 powers of two (caller contract —
     # quantize_nvfp4_pow2 guarantees it, arbitrary E4M3 scales do NOT).
     pow2_scale: bool = False
+    # Zero-free decode ("nvfp4p2z", numerics/reference.quantize_nvfp4_pow2z):
+    # the tensor contract guarantees NO stored-zero codes, so the kernel
+    # skips the stored-zero flag/mask pipeline — measured as the only pow2
+    # VPU cost that does not hide under the weight DMA (18-19 us of the
+    # ~89 us kernel at (16,8192,8192) on v5e, round-5 bisection). Only
+    # valid with pow2_scale; tensors quantized any other way produce wrong
+    # results wherever a zero code sits.
+    zero_free: bool = False
 
     def __post_init__(self):
         assert self.block_m % BLOCK_M_UNIT == 0 and self.block_m > 0
@@ -80,10 +88,14 @@ class SolutionId:
         assert self.block_k % BLOCK_K_UNIT == 0 and self.block_k > 0
         assert not (self.pow2_scale and self.element_b != ElementB.NVFP4), \
             "pow2_scale is an NVFP4-only fast path (MXFP4 is always pow2)"
+        assert not (self.zero_free and not self.pow2_scale), \
+            "zero_free is a pow2-scale (nvfp4p2z) contract"
 
-    # 64-bit layout: [p2:1][wc:1][m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
+    # 64-bit layout:
+    # [zf:1][p2:1][wc:1][m:8][n:10][k:10][element_b:3][mfma:2][hp:1]
     def repr(self) -> int:
-        return (int(self.pow2_scale) << 35 |
+        return (int(self.zero_free) << 36 |
+                int(self.pow2_scale) << 35 |
                 int(self.weight_cache) << 34 |
                 (self.block_m // BLOCK_M_UNIT) << 26 |
                 (self.block_n // BLOCK_N_UNIT) << 16 |
@@ -103,6 +115,7 @@ class SolutionId:
             high_precision=bool(r & 1),
             weight_cache=bool((r >> 34) & 1),
             pow2_scale=bool((r >> 35) & 1),
+            zero_free=bool((r >> 36) & 1),
         )
 
     @property

@@ -272,7 +272,9 @@ def mul_fp4_tp_rs(a: jax.Array, layer: dict, mesh: Mesh, size_k: int,
     tp = mesh.shape["tp"]
     n = layer["words"].shape[1]
     assert n % tp == 0 and size_k % tp == 0
-    mul = {"nvfp4": gemm_mod.mul_nvfp4_a16, "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+    mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
+           "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+           "nvfp4p2z": gemm_mod.mul_nvfp4p2z_a16,
            "mxfp4": gemm_mod.mul_mxfp4_a16}[fmt]
 
     def local(a_l, words_l, scales_l, gs):

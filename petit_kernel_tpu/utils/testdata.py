@@ -29,10 +29,15 @@ class GemmTestData:
 def make_gemm_data(m: int, n: int, k: int, fmt: str = "nvfp4",
                    seed: int = 42) -> GemmTestData:
     rng = np.random.default_rng(seed)
-    group = 16 if fmt in ("nvfp4", "nvfp4p2") else 32
+    group = 16 if fmt in ("nvfp4", "nvfp4p2", "nvfp4p2z") else 32
     a = rng.standard_normal((m, k)).astype(np.float32)
-    nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
-    nib[nib == 8] = 0  # no negative zero (reference invariant)
+    if fmt == "nvfp4p2z":
+        # zero-free contract: no zero codes (0 = +0, 8 = -0) anywhere
+        nib = rng.integers(1, 16, size=(n, k), dtype=np.uint8)
+        nib[nib == 8] = 9
+    else:
+        nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
+        nib[nib == 8] = 0  # no negative zero (reference invariant)
     qweights = formats.pack_fp4_pairs(nib)
     if fmt == "nvfp4":
         # positive E4M3 scales with exponents 4..10 (2^-3 .. 2^3), like the
@@ -40,7 +45,7 @@ def make_gemm_data(m: int, n: int, k: int, fmt: str = "nvfp4",
         scales = ((rng.integers(4, 11, size=(n, k // group), dtype=np.uint8)
                    << 3)
                   | rng.integers(0, 8, size=(n, k // group), dtype=np.uint8))
-    elif fmt == "nvfp4p2":
+    elif fmt in ("nvfp4p2", "nvfp4p2z"):
         # pow2 E4M3 scale bytes only (mantissa 0): the nvfp4p2 contract
         scales = (rng.integers(4, 11, size=(n, k // group), dtype=np.uint8)
                   << 3)

@@ -118,6 +118,70 @@ def test_nvfp4p2_end_to_end_model_quality():
     assert float(agree) >= 0.5, float(agree)
 
 
+def test_nvfp4p2z_quantizer_zero_free_and_bounded():
+    """quantize_nvfp4_pow2z: NO stored-zero codes anywhere (the kernel
+    contract that lets the decode drop the flag pipeline), pow2 scales,
+    and error bounded by one extra half-step for near-zero values."""
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((64, 256)).astype(np.float32)
+    w[3, :16] = 0.0          # all-zero group: must still be zero-FREE
+    w[7, 32:48] = 1e-6       # near-zero group
+    qw, scales, gs = refn.quantize_nvfp4_pow2z(w)
+    nibs = np.concatenate([qw & 0xF, qw >> 4], axis=-1)
+    assert not ((nibs == 0) | (nibs == 8)).any()   # zero-free
+    dec = refn.formats.e4m3_decode(scales.reshape(-1)).astype(np.float64)
+    exp = np.log2(dec)
+    np.testing.assert_array_equal(exp, np.round(exp))  # powers of two
+    deq = refn.dequant_nvfp4(qw, scales) * gs
+    # near-zero values land at +-0.5 * (group scale * gs): bounded by one
+    # half-step of the chosen (<= 2x ideal) scale
+    err = np.abs(deq - w).reshape(64, -1, 16)
+    gmax = np.abs(w.reshape(64, -1, 16)).max(-1, keepdims=True)
+    step = np.maximum(gmax / 3.0, refn.formats.e4m3_decode(
+        scales)[..., None].astype(np.float64) * gs)
+    assert (err <= np.maximum(step, 1e-6)).all()
+
+
+def test_mul_nvfp4p2z_matches_pow2_kernel_bit_exact():
+    """On zero-free tensors the flag-free kernel (mul_nvfp4p2z_a16) must
+    be BIT-IDENTICAL to the masked pow2 kernel (the mask only ever fires
+    on stored zeros, which the contract excludes), and match the host
+    oracle."""
+    for (m, n, k) in [(16, 256, 512), (5, 128, 1024), (33, 208, 640)]:
+        d = make_gemm_data(m, n, k, "nvfp4p2z", seed=m)
+        a = jnp.asarray(d.a, jnp.bfloat16)
+        args = (a, jnp.asarray(d.words), jnp.asarray(d.scales_t),
+                jnp.float32(d.global_scale), m, n, k, -1)
+        c_z = pk.mul_nvfp4p2z_a16(*args, interpret=True)
+        c_p2 = pk.mul_nvfp4p2_a16(*args, interpret=True)
+        assert np.array_equal(np.asarray(c_z, np.float32),
+                              np.asarray(c_p2, np.float32))
+        ref = refn.gemm_reference(np.asarray(a, np.float32), d.qweights,
+                                  d.scales, d.global_scale, fmt="nvfp4")
+        np.testing.assert_allclose(np.asarray(c_z, np.float32), ref,
+                                   rtol=0.01, atol=0.01)
+
+
+def test_nvfp4p2z_solution_id_and_model():
+    sid = S.SolutionId(16, 128, 512, S.ElementB.NVFP4, pow2_scale=True,
+                       zero_free=True)
+    assert S.SolutionId.from_repr(sid.repr()) == sid
+    assert sid.repr() != S.SolutionId(16, 128, 512, S.ElementB.NVFP4,
+                                      pow2_scale=True).repr()
+    with pytest.raises(AssertionError):
+        S.SolutionId(16, 128, 512, S.ElementB.NVFP4, zero_free=True)
+    # end-to-end tiny llama sanity (mode wired, not a perf-only stub)
+    from petit_kernel_tpu.models import llama
+    cfg = llama.LlamaConfig.tiny(hidden_size=256, intermediate_size=512)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qp = llama.quantize_params(params, "nvfp4p2z")
+    toks = jnp.arange(8)[None, :] % cfg.vocab_size
+    dense, _ = llama.forward(params, toks, cfg, interpret=True)
+    quant, _ = llama.forward(qp, toks, cfg, fmt="nvfp4p2z", interpret=True)
+    agree = (jnp.argmax(dense[0], -1) == jnp.argmax(quant[0], -1)).mean()
+    assert float(agree) >= 0.5, float(agree)
+
+
 @pytest.mark.parametrize("fmt", ["nvfp4", "mxfp4"])
 def test_mul_w4a8_close_to_a16(fmt):
     """W4A8 (int8 MXU, per-token activation quant + per-column weight

@@ -517,14 +517,46 @@ def test_engine_prefill_fmt_w4a8(setup):
     p = np.array([5, 9, 42, 7, 11, 13], np.int32)
     req = lambda: [serving.Request(uid=0, tokens=p, max_new_tokens=4)]
 
-    mixed = serving.Engine(qp, cfg, max_batch=2, fmt="nvfp4",
-                           prefill_fmt="w4a8", interpret=True)
-    got = mixed.run(req())
-    all8 = serving.Engine(qp, cfg, max_batch=2, fmt="w4a8",
-                          interpret=True)
-    want = all8.run(req())
+    # drop the measured small-m guardrail so the tiny chunks actually
+    # exercise the int8 kernel here (production keeps W4A8_MIN_M=256)
+    old_min = llama.W4A8_MIN_M
+    llama.W4A8_MIN_M = 0
+    try:
+        mixed = serving.Engine(qp, cfg, max_batch=2, fmt="nvfp4",
+                               prefill_fmt="w4a8", interpret=True)
+        got = mixed.run(req())
+        all8 = serving.Engine(qp, cfg, max_batch=2, fmt="w4a8",
+                              interpret=True)
+        want = all8.run(req())
+    finally:
+        llama.W4A8_MIN_M = old_min
     assert len(got[0]) == 4
     assert got[0][0] == want[0][0]
+
+
+def test_w4a8_small_m_routes_to_exact_kernel(setup):
+    """The w4a8 -> nvfp4 guardrail (VERDICT r4 #8): below the measured
+    m~256 crossover, linear(fmt="w4a8") must produce the EXACT nvfp4
+    kernel's output (bit-equal), not the int8 requant path's."""
+    cfg, params = setup
+    qp = llama.quantize_params(params, "nvfp4", fuse=False)
+    layer = qp["layers"][0]["wq"]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, cfg.hidden_size)) / 8,
+                    jnp.bfloat16)
+    y8 = llama.linear(x, layer, fmt="w4a8", interpret=True)
+    y4 = llama.linear(x, layer, fmt="nvfp4", interpret=True)
+    assert np.array_equal(np.asarray(y8, np.float32),
+                          np.asarray(y4, np.float32))
+    # above the threshold the int8 path engages and differs
+    old_min = llama.W4A8_MIN_M
+    llama.W4A8_MIN_M = 4
+    try:
+        y8b = llama.linear(x, layer, fmt="w4a8", interpret=True)
+    finally:
+        llama.W4A8_MIN_M = old_min
+    assert not np.array_equal(np.asarray(y8b, np.float32),
+                              np.asarray(y4, np.float32))
 
     with pytest.raises(ValueError):
         serving.Engine(qp, cfg, fmt="mxfp4", prefill_fmt="w4a8")

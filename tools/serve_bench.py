@@ -76,7 +76,7 @@ def build_model(cfg, rng, fmt="nvfp4"):
     else:
         import functools as _ft
         fab = _ft.partial(fabricate_qlayer,
-                          pow2_scales=(fmt == "nvfp4p2"))
+                          pow2_scales=fmt in ("nvfp4p2", "nvfp4p2z"))
     params = {
         "embed": jnp.asarray(
             rng.standard_normal((v, h)).astype(np.float32) / 50,
@@ -154,7 +154,8 @@ def main():
     p.add_argument("--n1", type=int, default=8)
     p.add_argument("--n2", type=int, default=40)
     p.add_argument("--format", default="nvfp4",
-                   choices=["nvfp4", "mxfp4", "nvfp4p2", "hybrid"])
+                   choices=["nvfp4", "mxfp4", "nvfp4p2", "nvfp4p2z",
+                            "hybrid"])
     p.add_argument("--prefill-fmt", default=None,
                    choices=[None, "w4a8", "nvfp4"],
                    help="engine mode: run prefill chunks through a "
@@ -203,7 +204,7 @@ def main():
     if args.lm_head_fp4:
         params["lm_head"] = fabricate_qlayer(
             rng, cfg.hidden_size, cfg.vocab_size,
-            pow2_scales=(args.format == "nvfp4p2"))
+            pow2_scales=args.format in ("nvfp4p2", "nvfp4p2z"))
 
     # weight bytes streamed per decode step (FP4 words + bf16 scales)
     wbytes = sum(lp[k]["words"].size * 4 + lp[k]["scales"].size * 2

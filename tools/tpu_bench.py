@@ -173,11 +173,11 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                      | ((w_ref[:] << np.uint32(1)) & np.uint32(0x80008000)))
             sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
             if stage == "v6intsc_nz":
+                # same slab reuse as v6intsc (timing only; sc32 is (4, C))
                 sc32 = pltpu.bitcast(sc[0:8], jnp.uint32) \
                     - np.uint32(0x00800080)
                 for ch in range(y.shape[0] // 64):
-                    slab32 = pltpu.repeat(sc32[ch * 4:(ch + 1) * 4], 16,
-                                          axis=0)
+                    slab32 = pltpu.repeat(sc32, 16, axis=0)
                     b2 = pltpu.bitcast(
                         y[ch * 64:(ch + 1) * 64] + slab32, jnp.bfloat16)
                     acc_ref[:] += jnp.dot(
@@ -233,6 +233,86 @@ def _variant_kernel(a0, a1, a2, a3, w_ref, s_ref, gs_ref, out_ref,
                     b2 = b[ch * 128:(ch + 1) * 128]
                 else:
                     b2 = b[ch * 128:(ch + 1) * 128] * jnp.bfloat16(0.5)
+                acc_ref[:] += jnp.dot(
+                    a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
+                    preferred_element_type=jnp.float32)
+    elif stage in ("v6pipe", "v6intscpipe"):
+        # Software-pipelined variants (round 5): the nodma bisection shows
+        # compute = VPU decode + MXU dots running SERIALLY (v6 102.4 us
+        # nodma vs ~66 VPU + ~35 MXU). Reorder so quarter j+1's decode
+        # (VPU) is issued before quarter j's dots (MXU) — if Mosaic
+        # schedules units async in program order, they overlap.
+        def _dec(j, intsc):
+            if j == 0:
+                y = w_ref[:] & np.uint32(0x81C081C0)
+            elif j < 3:
+                y = (w_ref[:] << np.uint32(3 * j)) & np.uint32(0x81C081C0)
+            else:
+                y = (((w_ref[:] >> np.uint32(4)) & np.uint32(0x00C000C0))
+                     | ((w_ref[:] >> np.uint32(5)) & np.uint32(0x01000100))
+                     | ((w_ref[:] << np.uint32(1))
+                        & np.uint32(0x80008000)))
+            z = y ^ np.uint32(0x00400040)
+            c = (z + np.uint32(0x01C001C0)) & np.uint32(0x02000200)
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            out = []
+            if intsc:
+                mask = (c >> np.uint32(9)) * np.uint32(0xFFFF)
+                sc32 = pltpu.bitcast(sc[0:8], jnp.uint32) \
+                    - np.uint32(0x00800080)
+                for ch in range(y.shape[0] // 64):
+                    slab32 = pltpu.repeat(sc32, 16, axis=0)
+                    bits = ((y[ch * 64:(ch + 1) * 64] + slab32)
+                            & mask[ch * 64:(ch + 1) * 64])
+                    out.append(pltpu.bitcast(bits, jnp.bfloat16))
+            else:
+                bias = (c >> np.uint32(9)) * np.uint32(0x3F00)
+                b = pltpu.bitcast(y + bias, jnp.bfloat16)
+                for ch in range(b.shape[0] // 128):
+                    slab = pltpu.repeat(sc[ch * 8:(ch + 1) * 8], 16,
+                                        axis=0)
+                    out.append(b[ch * 128:(ch + 1) * 128] * slab)
+            return out
+
+        intsc = stage == "v6intscpipe"
+        prev = None
+        for j in range(4):
+            cur = _dec(j, intsc)                      # VPU for quarter j
+            if prev is not None:
+                jp, chunks = prev
+                for ch, b2 in enumerate(chunks):      # MXU for quarter j-1
+                    acc_ref[:] += jnp.dot(
+                        a_refs[jp][:, ch * 128:(ch + 1) * 128], b2,
+                        preferred_element_type=jnp.float32)
+            prev = (j, cur)
+        jp, chunks = prev
+        for ch, b2 in enumerate(chunks):
+            acc_ref[:] += jnp.dot(
+                a_refs[jp][:, ch * 128:(ch + 1) * 128], b2,
+                preferred_element_type=jnp.float32)
+    elif stage == "v6m":
+        # mask-form exact decode (round 5): unconditional bias add, then
+        # the int path's half-mask kills zero halves outright (exact +0.0,
+        # no reliance on the multiply's subnormal flush) — tests whether
+        # the flag-via-bias form (v6) schedules worse than flag-via-mask
+        for j in range(4):
+            if j == 0:
+                y = w_ref[:] & np.uint32(0x81C081C0)
+            elif j < 3:
+                y = (w_ref[:] << np.uint32(3 * j)) & np.uint32(0x81C081C0)
+            else:
+                y = (((w_ref[:] >> np.uint32(4)) & np.uint32(0x00C000C0))
+                     | ((w_ref[:] >> np.uint32(5)) & np.uint32(0x01000100))
+                     | ((w_ref[:] << np.uint32(1)) & np.uint32(0x80008000)))
+            z = y ^ np.uint32(0x00400040)
+            c = (z + np.uint32(0x01C001C0)) & np.uint32(0x02000200)
+            mask = (c >> np.uint32(9)) * np.uint32(0xFFFF)
+            bits = (y + np.uint32(0x3F003F00)) & mask
+            b = pltpu.bitcast(bits, jnp.bfloat16)
+            sc = s_ref[pl.ds((j * nk + kk) * srows, srows), :]
+            for ch in range(b.shape[0] // 128):
+                slab = pltpu.repeat(sc[ch * 8:(ch + 1) * 8], 16, axis=0)
+                b2 = b[ch * 128:(ch + 1) * 128] * slab
                 acc_ref[:] += jnp.dot(
                     a_refs[j][:, ch * 128:(ch + 1) * 128], b2,
                     preferred_element_type=jnp.float32)
