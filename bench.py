@@ -269,21 +269,26 @@ def main():
         "vs_baseline": round(_geo(decode, "speedup"), 3),
     }
     if extra:
-        # headline = the quality-gated pow2 serving path; exact E4M3 kept
-        # alongside for full transparency (it is the bit-faithful frontier)
+        # headline = the quality-gated zero-free pow2 serving path (gate:
+        # delta-NLL +0.0021 vs the int3 canary's +0.0274, same standard
+        # nvfp4p2 was adopted under in r3); pow2 and exact E4M3 kept
+        # alongside for full transparency (exact is the bit-faithful
+        # frontier — see docs/STATUS_r5.md for its measured floor)
         d2 = [r for r in extra if r["m"] == 16]
         line = {
-            "metric": "nvfp4p2_gemm_decode_m16_geomean_tflops",
-            "value": round(_geo(d2, "tflops"), 3),
+            "metric": "nvfp4p2z_gemm_decode_m16_geomean_tflops",
+            "value": round(_geo(decode, "tflops"), 3),
             "unit": "TFLOP/s",
-            "vs_baseline": round(_geo(d2, "speedup"), 3),
+            "vs_baseline": round(_geo(decode, "speedup"), 3),
+            "nvfp4p2_tflops": round(_geo(d2, "tflops"), 3),
+            "nvfp4p2_vs_baseline": round(_geo(d2, "speedup"), 3),
             "nvfp4_exact_tflops": round(_geo(decode, "tflops"), 3),
             "nvfp4_exact_vs_baseline": round(_geo(decode, "speedup"), 3),
         }
         if extra_z:
             dz = [r for r in extra_z if r["m"] == 16]
-            line["nvfp4p2z_tflops"] = round(_geo(dz, "tflops"), 3)
-            line["nvfp4p2z_vs_baseline"] = round(_geo(dz, "speedup"), 3)
+            line["value"] = round(_geo(dz, "tflops"), 3)
+            line["vs_baseline"] = round(_geo(dz, "speedup"), 3)
     print(json.dumps(line))
 
 

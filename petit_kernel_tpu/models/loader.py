@@ -93,12 +93,14 @@ def _make_quantized_layer(tensors: dict, prefix: str, fmt: str) -> dict:
         qw = np.asarray(tensors[wkey]).view(np.uint8)
         scales = np.asarray(tensors[skey]).view(np.uint8)
         gs = np.float32(_to_f32(tensors[gkey]).reshape(()))
-        if fmt == "nvfp4p2":
+        if fmt in ("nvfp4p2", "nvfp4p2z"):
             # serve an exact-NVFP4 checkpoint on the pow2-scale fast path:
             # fold the E4M3 mantissa factor into the FP4 values (opt-in
-            # re-round; quality-gate before adopting — see numerics docs)
+            # re-round; quality-gate before adopting — see numerics docs).
+            # "nvfp4p2z" additionally rounds zero codes to the nearest
+            # nonzero magnitude so the flag-free kernel applies.
             qw, scales, gs = ref_numerics.requantize_nvfp4_pow2(
-                qw, scales, gs)
+                qw, scales, gs, zero_free=(fmt == "nvfp4p2z"))
         n, kb = qw.shape
         k = kb * 2
         words = layout_mod.repack_fp4_weights(qw, n, k)

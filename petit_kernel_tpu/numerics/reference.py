@@ -171,12 +171,13 @@ def quantize_nvfp4_pow2z(w: np.ndarray, global_scale: float | None = None):
 
 
 def requantize_nvfp4_pow2(qweights: np.ndarray, scales: np.ndarray,
-                          global_scale: float):
+                          global_scale: float, zero_free: bool = False):
     """Convert an existing NVFP4 tensor (E4M3 scales) to the pow2-scale
     variant by dequantizing and re-quantizing. Loader-side helper for
-    pre-quantized checkpoints served in "nvfp4p2" mode."""
+    pre-quantized checkpoints served in "nvfp4p2" mode (zero_free=True
+    for "nvfp4p2z")."""
     deq = dequant_nvfp4(qweights, scales) * np.float32(global_scale)
-    return quantize_nvfp4_pow2(deq)
+    return quantize_nvfp4_pow2(deq, zero_free=zero_free)
 
 
 def quantize_mxfp4(w: np.ndarray):

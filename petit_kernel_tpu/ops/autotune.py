@@ -117,7 +117,8 @@ def tune_shape(m: int, n: int, k: int,
                *, verbose: bool = False, update_table: bool = True,
                max_candidates: int = 24, full: bool = False,
                time_budget_s: float | None = None,
-               top: int = 5, pow2_scale: bool = False) -> SolutionId:
+               top: int = 5, pow2_scale: bool = False,
+               zero_free: bool = False) -> SolutionId:
     """Tune one shape on the current device; returns the fastest SolutionId
     and (by default) records it in the in-memory dispatch table.
 
@@ -165,9 +166,10 @@ def tune_shape(m: int, n: int, k: int,
     else:
         cands = candidate_solutions(m, n, k, element_b, mfma_type,
                                     max_candidates)
-    if pow2_scale:
+    if pow2_scale or zero_free:
         import dataclasses as _dc
-        cands = [_dc.replace(sid, pow2_scale=True) for sid in cands]
+        cands = [_dc.replace(sid, pow2_scale=True, zero_free=zero_free)
+                 for sid in cands]
     import time as _time
     t0 = _time.perf_counter()
     timed: list[tuple[float, SolutionId]] = []
@@ -195,7 +197,7 @@ def tune_shape(m: int, n: int, k: int,
     assert best is not None
     if update_table:
         key = gemm_mod._table_key(m, n, k, element_b, mfma_type, False,
-                                  pow2=pow2_scale)
+                                  pow2=pow2_scale, zero_free=zero_free)
         gemm_mod._TUNED_TABLE[key] = best.repr()
     return best
 
@@ -291,8 +293,9 @@ def load_table(kind: str | None = None) -> bool:
     # fixed pass order so current 7-field keys always win over legacy
     # 6-field keys that parse to the same tuple (JSON iteration order must
     # not decide which solution dispatches); 8-field keys are the pow2
-    # (nvfp4p2) entries and are distinct tuples by construction
-    for want_len in (6, 7, 8):
+    # (nvfp4p2) entries, 9-field the zero-free (nvfp4p2z) entries — both
+    # distinct tuples by construction
+    for want_len in (6, 7, 8, 9):
         for ks, v in raw.items():
             parts = ks.split(",")
             if len(parts) != want_len:
@@ -302,10 +305,10 @@ def load_table(kind: str | None = None) -> bool:
             key = (int(parts[0]), int(parts[1]), int(parts[2]),
                    int(parts[3]), int(parts[4]), parts[5] == "True",
                    grouped)
-            if want_len == 8:
+            if want_len >= 8:
                 if parts[7] != "True":
                     continue
-                key = key + (True,)
+                key = key + (True,) * (want_len - 7)
             table[key] = v
     gemm_mod.set_tuned_table(table)
     return True

@@ -45,7 +45,8 @@ def _m_bucket(m: int) -> int:
 
 def _table_key(m: int, n: int, k: int, element_b: ElementB,
                mfma_type: MatmulType, high_precision: bool,
-               grouped: bool = False, pow2: bool = False) -> tuple:
+               grouped: bool = False, pow2: bool = False,
+               zero_free: bool = False) -> tuple:
     """Tuned-table key. `grouped` separates the grouped (MoE expert)
     kernel's optima from the dense kernel's at the same per-expert shape;
     `pow2` separates the nvfp4p2 (pow2-scale) kernel's optima — its scale
@@ -55,6 +56,8 @@ def _table_key(m: int, n: int, k: int, element_b: ElementB,
     7-field for table compatibility."""
     key = (_m_bucket(m), n, k, int(element_b), int(mfma_type),
            bool(high_precision), bool(grouped))
+    if zero_free:            # 9-field: the flag-free (nvfp4p2z) optima
+        return key + (True, True)
     return key + (True,) if pow2 else key
 
 
@@ -64,7 +67,8 @@ def resolve_solution(m: int, n: int, k: int,
                      high_precision: bool = False,
                      solution_id: int = -1,
                      hints: Optional[SolutionHints] = None,
-                     pow2_scale: bool = False) -> SolutionId:
+                     pow2_scale: bool = False,
+                     zero_free: bool = False) -> SolutionId:
     """solution_id semantics match the reference (fp4.cc:189-199):
     -1 -> tuned table, then heuristic; otherwise an explicit SolutionId.repr()
     which must be feasible or ValueError (kErrorKernelShape analog).
@@ -92,6 +96,16 @@ def resolve_solution(m: int, n: int, k: int,
                 f"solution {sid} infeasible for m={m} n={n} k={k} "
                 "(kErrorKernelShape)")
         return sid
+    if zero_free and not high_precision:
+        # zero-free (nvfp4p2z) tuned entry first: the flag-free kernel's
+        # VPU/DMA balance differs again from pow2's; falls through to the
+        # pow2 entry (same block optima to first order), then exact
+        key9 = _table_key(m, n, k, element_b, mfma_type, False,
+                          zero_free=True)
+        if key9 in _TUNED_TABLE:
+            sid = SolutionId.from_repr(_TUNED_TABLE[key9])
+            if sid.zero_free and solution_mod.is_feasible(sid, m, n, k):
+                return sid
     if pow2_scale and not high_precision:
         # pow2-tuned entry first (its own key: the int-scale kernel's
         # optimum block shape differs from exact NVFP4's); fall back to
@@ -195,7 +209,7 @@ def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
         hints = solution_mod.default_hints(b_type=element_b)
     sid = resolve_solution(size_m, size_n, size_k, element_b, mfma,
                            solution_id=solution_id, hints=hints,
-                           pow2_scale=pow2_scale)
+                           pow2_scale=pow2_scale, zero_free=zero_free)
     if pow2_scale and not sid.pow2_scale and not sid.high_precision:
         # no pow2-tuned entry: reuse the NVFP4 tuned/heuristic block shape
         # with the in-kernel scale apply switched to the int path

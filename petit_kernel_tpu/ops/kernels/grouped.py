@@ -24,7 +24,8 @@ from . import fused
 
 
 def _grouped_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
-                    out_ref, acc_ref, *, nk: int, int_scale: bool = False):
+                    out_ref, acc_ref, *, nk: int, int_scale: bool = False,
+                    zero_free: bool = False):
     kk = pl.program_id(3)
 
     @pl.when(kk == 0)
@@ -36,11 +37,15 @@ def _grouped_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
     for j in range(4):
         a = a_refs[j][0]
         if int_scale:
-            # MXFP4: power-of-two scales via integer exponent add
-            # (fused._int_scale_quarter; same preconditions)
+            # MXFP4 / nvfp4p2(z): power-of-two scales via integer exponent
+            # add (fused._int_scale_quarter[_nz]; same preconditions)
             y = fused._extract_quarter(w_ref[0], j)
-            c = ((y ^ fused._ZXOR) + fused._CADD) & fused._CMASK
-            for ch, b in fused._int_scale_quarter(y, c, s_refs[j][0]):
+            if zero_free:
+                quarters = fused._int_scale_quarter_nz(y, s_refs[j][0])
+            else:
+                c = ((y ^ fused._ZXOR) + fused._CADD) & fused._CMASK
+                quarters = fused._int_scale_quarter(y, c, s_refs[j][0])
+            for ch, b in quarters:
                 acc_ref[:] += jnp.dot(a[:, ch * 128:(ch + 1) * 128], b,
                                       preferred_element_type=jnp.float32)
             continue
@@ -59,11 +64,13 @@ def _grouped_kernel(a0, a1, a2, a3, w_ref, s0, s1, s2, s3, gs_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "interpret", "out_dtype",
-                                             "solution_id", "element_b"))
+                                             "solution_id", "element_b",
+                                             "pow2_scale", "zero_free"))
 def grouped_mul(xs: jax.Array, words: jax.Array, scales_t: jax.Array,
                 gs: jax.Array, *, block_m: int = 0, block_n: int = 0,
                 block_k: int = 0, solution_id: int = -1,
                 element_b=None, out_dtype=jnp.bfloat16,
+                pow2_scale: bool = False, zero_free: bool = False,
                 interpret: bool = False) -> jax.Array:
     """(E, cap, k) @ per-expert dequant((E, kp/8, n), (E, kp/16, n)) * gs[E]
     -> (E, cap, n), one fused kernel with the expert as a grid axis.
@@ -118,7 +125,8 @@ def grouped_mul(xs: jax.Array, words: jax.Array, scales_t: jax.Array,
     out = pl.pallas_call(
         functools.partial(
             _grouped_kernel, nk=nk,
-            int_scale=(element_b == ElementB.MXFP4)),
+            int_scale=(element_b == ElementB.MXFP4 or pow2_scale),
+            zero_free=zero_free),
         grid=(E, nm, nn, nk),
         in_specs=[
             *[pl.BlockSpec((1, bm, kb4), a_map(j), memory_space=pltpu.VMEM)

@@ -80,9 +80,11 @@ def quantize_linear_tp(w_kn: np.ndarray, tp: int, shard: str,
     """
     w = np.asarray(w_kn, np.float32).T  # (n, k)
     n, k = w.shape
-    quant = (ref_numerics.quantize_nvfp4 if fmt == "nvfp4"
-             else ref_numerics.quantize_mxfp4)
-    group = 16 if fmt == "nvfp4" else 32
+    quant = {"nvfp4": ref_numerics.quantize_nvfp4,
+             "nvfp4p2": ref_numerics.quantize_nvfp4_pow2,
+             "nvfp4p2z": ref_numerics.quantize_nvfp4_pow2z,
+             "mxfp4": ref_numerics.quantize_mxfp4}[fmt]
+    group = 32 if fmt == "mxfp4" else 16
     if shard == "n":
         qw, scales, gs = quant(w)
         words = layout_mod.repack_fp4_weights(
@@ -92,18 +94,18 @@ def quantize_linear_tp(w_kn: np.ndarray, tp: int, shard: str,
                 "gs": jnp.float32(gs)}
     assert shard == "k" and k % tp == 0, (shard, k, tp)
     ks = k // tp
-    if fmt == "nvfp4":
+    if fmt == "mxfp4":
+        gs = np.float32(1.0)
+    else:
         amax = np.abs(w).max()
         gs = np.float32(amax / (6.0 * 448.0)) if amax > 0 else np.float32(1.0)
-    else:
-        gs = np.float32(1.0)
     words_parts, scale_parts = [], []
     for t in range(tp):
         wt = w[:, t * ks:(t + 1) * ks]
-        if fmt == "nvfp4":
-            qw, scales, _ = ref_numerics.quantize_nvfp4(wt, global_scale=gs)
-        else:
+        if fmt == "mxfp4":
             qw, scales, _ = ref_numerics.quantize_mxfp4(wt)
+        else:
+            qw, scales, _ = quant(wt, global_scale=gs)
         words_parts.append(layout_mod.repack_fp4_weights(
             qw, n, ks, pad_to=layout_mod.pad_multiple(group)))
         scale_parts.append(layout_mod.process_fp4_scales(

@@ -198,3 +198,36 @@ def test_load_prequantized_as_nvfp4p2(tmp_path):
     deq = refn.dequant_nvfp4(qw2, s2) * gs2
     orig = refn.dequant_nvfp4(qw, scales) * gs
     assert np.abs(deq - orig).max() <= 0.25 * np.abs(orig).max()
+
+
+def test_load_prequantized_as_nvfp4p2z(tmp_path):
+    """fmt="nvfp4p2z" over a pre-quantized NVFP4 checkpoint: pow2 scales
+    AND no stored-zero codes anywhere (the flag-free kernel contract)."""
+    rng = np.random.default_rng(13)
+    _write_dense_ckpt(tmp_path, rng)
+    n, k = 128, 128
+    w = rng.standard_normal((n, k)).astype(np.float32) / 8
+    w[5, :32] = 0.0  # zero-heavy rows must still come out zero-free
+    qw, scales, gs = refn.quantize_nvfp4(w)
+    t = st_numpy.load_file(os.path.join(tmp_path, "model.safetensors"))
+    pre = "model.layers.0.self_attn.o_proj"
+    del t[pre + ".weight"]
+    t[pre + ".weight"] = qw
+    t[pre + ".weight_scale"] = scales
+    t[pre + ".weight_scale_2"] = np.asarray(gs, np.float32)
+    st_numpy.save_file(t, os.path.join(tmp_path, "model.safetensors"))
+
+    cfg, params = loader.load_llama(str(tmp_path), fmt="nvfp4p2z",
+                                    use_cache=False)
+    layer = params["layers"][0]["wo"]
+    qw2, s2, gs2 = refn.requantize_nvfp4_pow2(qw, scales, gs,
+                                              zero_free=True)
+    nibs = np.concatenate([qw2 & 0xF, qw2 >> 4], axis=-1)
+    assert not ((nibs == 0) | (nibs == 8)).any()
+    from petit_kernel_tpu.ops import layout as layout_mod
+    assert np.array_equal(np.asarray(layer["words"]),
+                          layout_mod.repack_fp4_weights(qw2, n, k))
+    # near-zero rows bounded by one half-step of the group scale
+    deq = refn.dequant_nvfp4(qw2, s2) * gs2
+    orig = refn.dequant_nvfp4(qw, scales) * gs
+    assert np.abs(deq - orig).max() <= 0.25 * np.abs(orig).max()

@@ -195,3 +195,57 @@ def test_mixtral_served_through_engine():
     out = eng.run([serving.Request(uid=0, tokens=prompt,
                                    max_new_tokens=max_new)])
     assert out[0] == want
+
+
+def test_moe_mlp_nvfp4p2z_matches_oracle():
+    """Zero-free pow2 experts through the grouped kernel (flag-free int
+    path) match the dense oracle built from the exact per-shard dequant."""
+    rng = np.random.default_rng(4)
+    T, H, F, E = 16, 128, 256, 4
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.5, jnp.bfloat16)
+    ws = {n: rng.standard_normal((E, kk, nn)).astype(np.float32) / 16
+          for n, (kk, nn) in dict(w_gate=(H, F), w_up=(H, F),
+                                  w_down=(F, H)).items()}
+    ws["w_gate"][0, :16, 5] = 0.0  # zero-heavy stripe: contract holds
+    qz = {n: moe.quantize_moe_linear(ws[n], "nvfp4p2z") for n in ws}
+    # zero-free container invariant across every expert (logical region
+    # only: padded-k rows legitimately hold zero words)
+    from petit_kernel_tpu.ops import layout as L
+    for nm in qz:
+        E_, kk, nn = ws[nm].shape
+        for e in range(E_):
+            nib = L.unpack_fp4_weights(np.asarray(qz[nm]["words"][e]),
+                                       nn, kk)
+            assert not ((nib == 0) | (nib == 8)).any()
+    dexperts = {}
+    for n in ws:
+        E_, kk, nn = ws[n].shape
+        deq = np.stack([
+            L.dequant_from_tpu_layout(
+                np.asarray(qz[n]["words"][e]),
+                np.asarray(qz[n]["scales"][e]), nn, kk, group_size=16)
+            for e in range(E_)]) * np.asarray(qz[n]["gs"])[:, None, None]
+        dexperts[n] = jnp.asarray(deq, jnp.bfloat16)  # already (E, k, n)
+    cfg = MoEConfig(num_experts=E, top_k=2, capacity_factor=2.0)
+    y = moe.moe_mlp(x, router, qz, cfg, fmt="nvfp4p2z", interpret=True)
+
+    def dense_moe(x, router, dx):
+        logits = x.astype(jnp.float32) @ router.astype(jnp.float32)
+        topv, topi = jax.lax.top_k(logits, 2)
+        w = jax.nn.softmax(topv, axis=-1)
+        out = jnp.zeros((T, H), jnp.float32)
+        for slot in range(2):
+            for e in range(E):
+                m = (topi[:, slot] == e).astype(jnp.float32) * w[:, slot]
+                g = x @ dx["w_gate"][e]
+                u = x @ dx["w_up"][e]
+                h = (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+                     * u)
+                out += m[:, None] * (h @ dx["w_down"][e]).astype(jnp.float32)
+        return out
+
+    ref = dense_moe(x, router, dexperts)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.08, atol=0.08)

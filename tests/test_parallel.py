@@ -311,3 +311,45 @@ def test_ep_engine_serving_matches_single_device():
     assert set(got) == set(want)
     for uid in want:
         assert got[uid][:2] == want[uid][:2], (uid, got, want)
+
+
+def test_quantize_linear_tp_nvfp4p2z_zero_free_shards():
+    """k-sharded p2z TP layer: every shard honors the zero-free contract
+    (no stored-zero codes) and the sharded fused GEMM matches the host
+    oracle on the concatenated dequant."""
+    from petit_kernel_tpu.parallel import tp as tp_mod
+    from petit_kernel_tpu.numerics import reference as refn
+
+    rng = np.random.default_rng(9)
+    m, k, n, tp = 8, 512, 256, 4
+    w = rng.standard_normal((k, n)).astype(np.float32) / 8
+    w[:32, 3] = 0.0  # zero-heavy column must stay zero-free per shard
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    mesh = _mesh(1, tp)
+    layer = par.quantize_linear_tp(w, tp, "k", "nvfp4p2z")
+    ks = k // tp
+
+    # zero-free invariant on the LOGICAL region of every shard (padded-k
+    # rows legitimately hold zero words; the kernel kills them via zero
+    # A-padding + 2^-126 pad scales)
+    words = np.asarray(layer["words"])
+    rows = words.shape[0] // tp
+    for t in range(tp):
+        nib = layout_mod.unpack_fp4_weights(
+            words[t * rows:(t + 1) * rows], n, ks)
+        assert not ((nib == 0) | (nib == 8)).any()
+
+    y = tp_mod.mul_fp4_tp_rs(a, layer, mesh, k, fmt="nvfp4p2z")
+    assert y.shape == (m, n)
+    # host oracle: dequant each shard, concat, dense matmul
+    scales = np.asarray(layer["scales"])
+    wrows, srows = words.shape[0] // tp, scales.shape[0] // tp
+    deq = np.concatenate(
+        [np.asarray(layout_mod.dequant_from_tpu_layout(
+            words[t * wrows:(t + 1) * wrows],
+            scales[t * srows:(t + 1) * srows],
+            n, ks, group_size=16), np.float32)
+         for t in range(tp)], axis=0) * float(layer["gs"])
+    ref = np.asarray(a, np.float32) @ deq
+    np.testing.assert_allclose(np.asarray(y, np.float32), ref,
+                               rtol=0.02, atol=0.02)

@@ -57,7 +57,7 @@ def _shape_for(sid: SolutionId):
 
 @pytest.mark.parametrize(
     "sid,eb", _CASES,
-    ids=[f"{eb.name}{'p2' if s.pow2_scale else ''}"
+    ids=[f"{eb.name}{'p2z' if s.zero_free else 'p2' if s.pow2_scale else ''}"
          f"-{s.block_m}x{s.block_n}x{s.block_k}"
          f"{'-wc' if s.weight_cache else ''}" for s, eb in _CASES])
 def test_tuned_config_matches_oracle(sid, eb):
@@ -65,6 +65,10 @@ def test_tuned_config_matches_oracle(sid, eb):
     group = 16 if eb == ElementB.NVFP4 else 32
     rng = np.random.default_rng(sid.repr() & 0xFFFF)
     nib = rng.integers(0, 16, size=(n, k), dtype=np.uint8)
+    if sid.zero_free:
+        # zero-free (nvfp4p2z) sids: the kernel contract excludes the
+        # stored-zero codes (0 = +0, 8 = -0) — remap to nonzero codes
+        nib = np.where(nib == 0, 1, np.where(nib == 8, 9, nib))
     qw = formats.pack_fp4_pairs(nib)
     if eb == ElementB.NVFP4:
         raw = (rng.integers(4, 11, size=(n, k // 16), dtype=np.uint8) << 3)

@@ -34,7 +34,7 @@ from petit_kernel_tpu.models import llama, moe
 HBM_GBPS = 750.0
 
 
-def fabricate_qlayer(rng, k, n, group=16):
+def fabricate_qlayer(rng, k, n, group=16, pow2_scales=False):
     from petit_kernel_tpu.ops import layout as layout_mod
     import ml_dtypes
     from petit_kernel_tpu.numerics import formats
@@ -42,20 +42,23 @@ def fabricate_qlayer(rng, k, n, group=16):
     words = rng.integers(0, 2 ** 32, size=(kp // 8, n),
                          dtype=np.uint64).astype(np.uint32)
     sraw = ((rng.integers(4, 11, size=(kp // 16, n), dtype=np.uint8) << 3)
-            | rng.integers(0, 8, size=(kp // 16, n), dtype=np.uint8))
+            | (0 if pow2_scales else  # nvfp4p2(z) contract: zero mantissa
+               rng.integers(0, 8, size=(kp // 16, n), dtype=np.uint8)))
     scales = formats.e4m3_decode(sraw).astype(ml_dtypes.bfloat16)
     return {"words": jnp.asarray(words), "scales": jnp.asarray(scales),
             "gs": jnp.float32(1.0 / 448.0)}
 
 
-def fabricate_experts(rng, E, k, n, group):
-    layers = [fabricate_qlayer(rng, k, n, group) for _ in range(E)]
+def fabricate_experts(rng, E, k, n, group, pow2_scales=False):
+    layers = [fabricate_qlayer(rng, k, n, group, pow2_scales)
+              for _ in range(E)]
     return {"words": jnp.stack([l["words"] for l in layers]),
             "scales": jnp.stack([l["scales"] for l in layers]),
             "gs": jnp.stack([l["gs"] for l in layers])}
 
 
-def build(cfg: moe.MixtralConfig, rng, moe_group: int):
+def build(cfg: moe.MixtralConfig, rng, moe_group: int,
+          moe_pow2: bool = False):
     h, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
@@ -78,9 +81,12 @@ def build(cfg: moe.MixtralConfig, rng, moe_group: int):
                 rng.standard_normal((h, E)).astype(np.float32) / 20,
                 jnp.bfloat16),
             "experts": {
-                "w_gate": fabricate_experts(rng, E, h, f, moe_group),
-                "w_up": fabricate_experts(rng, E, h, f, moe_group),
-                "w_down": fabricate_experts(rng, E, f, h, moe_group),
+                "w_gate": fabricate_experts(rng, E, h, f, moe_group,
+                                            moe_pow2),
+                "w_up": fabricate_experts(rng, E, h, f, moe_group,
+                                          moe_pow2),
+                "w_down": fabricate_experts(rng, E, f, h, moe_group,
+                                            moe_pow2),
             },
         })
     return params
@@ -95,7 +101,7 @@ def main():
     p.add_argument("--n1", type=int, default=8)
     p.add_argument("--n2", type=int, default=40)
     p.add_argument("--moe-fmt", default="nvfp4",
-                   choices=["nvfp4", "mxfp4"])
+                   choices=["nvfp4", "nvfp4p2", "nvfp4p2z", "mxfp4"])
     p.add_argument("--engine", action="store_true",
                    help="measure the ACTUAL serving engine (Engine.run "
                         "over make_engine_forward) incl. scheduling + "
@@ -112,8 +118,9 @@ def main():
         num_heads=32, num_kv_heads=8, head_dim=128, rope_theta=1e6,
         max_seq_len=256, num_experts=args.experts, top_k=2)
     rng = np.random.default_rng(0)
-    group = 16 if args.moe_fmt == "nvfp4" else 32
-    params = build(cfg, rng, group)
+    group = 32 if args.moe_fmt == "mxfp4" else 16
+    params = build(cfg, rng, group,
+                   moe_pow2=args.moe_fmt in ("nvfp4p2", "nvfp4p2z"))
     bs = args.bs
     cache0 = llama.init_cache(cfg, bs)
     toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, bs), jnp.int32)

@@ -60,7 +60,8 @@ def spec_cell(sb, cfg, dcfg, params, dparams, bs, gamma, f, fmt,
     eng.force_accept = f
     reqs = [serving.Request(
         uid=i, tokens=rng.integers(0, 32768, 16).astype(np.int32),
-        max_new_tokens=10 ** 6) for i in range(bs)]
+        max_new_tokens=cfg.max_seq_len - 16 - gamma - 2)
+        for i in range(bs)]
     for r in reqs:
         eng.add_request(r)
     while eng._pf:
@@ -112,7 +113,7 @@ def main():
     eng0 = serving.Engine(params, cfg, max_batch=args.bs, fmt=args.format)
     reqs = [serving.Request(
         uid=i, tokens=rng.integers(0, 32768, 16).astype(np.int32),
-        max_new_tokens=10 ** 6) for i in range(args.bs)]
+        max_new_tokens=cfg.max_seq_len - 32) for i in range(args.bs)]
     for r in reqs:
         eng0.add_request(r)
     while eng0._pf:

@@ -64,6 +64,7 @@ def gemm_rows(cfg, params, bs, fmt, reps):
     """Isolated per-projection GEMM time at m=bs vs weight-stream floor."""
     mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
            "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+           "nvfp4p2z": gemm_mod.mul_nvfp4p2z_a16,
            "mxfp4": gemm_mod.mul_mxfp4_a16}[fmt]
     lp = params["layers"][0]
     rows = {}
@@ -101,6 +102,7 @@ def make_chain(cfg, bs, fmt, kv_window, variant):
         k = x.shape[-1]
         mul = {"nvfp4": gemm_mod.mul_nvfp4_a16,
                "nvfp4p2": gemm_mod.mul_nvfp4p2_a16,
+               "nvfp4p2z": gemm_mod.mul_nvfp4p2z_a16,
                "mxfp4": gemm_mod.mul_mxfp4_a16}[fmt]
         return mul(x, layer["words"], layer["scales"], layer["gs"],
                    m, n, k, -1)
