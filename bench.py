@@ -86,8 +86,9 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
     if fmt == "hybrid":
         return run_hybrid(cases, n1, n2)
     autotune.load_table()  # persisted per-device-kind table, if present
-    group = 32 if fmt == "mxfp4" else 16
-    eb = ElementB.MXFP4 if fmt == "mxfp4" else ElementB.NVFP4
+    group = 32 if fmt in ("mxfp4", "mxfp4z") else 16
+    eb = (ElementB.MXFP4 if fmt in ("mxfp4", "mxfp4z")
+          else ElementB.NVFP4)
 
     results = []
     prev_nk = None
@@ -119,6 +120,12 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
             else:
                 scales = rng.integers(118, 132, size=(n, k // group),
                                       dtype=np.uint8)
+                if fmt == "mxfp4z":
+                    # zero-free contract: strip zero codes (0=+0, 8=-0)
+                    lo, hi = qw & 0xF, qw >> 4
+                    lo = np.where(lo == 0, 1, np.where(lo == 8, 9, lo))
+                    hi = np.where(hi == 0, 1, np.where(hi == 8, 9, hi))
+                    qw = (lo | (hi << 4)).astype(np.uint8)
                 b = pk.repack_mxfp4(qw, n, k)
                 s = pk.process_mxfp4_scales(scales, n, k)
             gs = np.float32(1.0)
@@ -136,7 +143,7 @@ def run(cases, tune, n1, n2, fmt="nvfp4"):
             sid = -1
 
         mul = {"nvfp4": pk.mul_nvfp4_a16, "nvfp4p2": pk.mul_nvfp4p2_a16,
-               "nvfp4p2z": pk.mul_nvfp4p2z_a16,
+               "nvfp4p2z": pk.mul_nvfp4p2z_a16, "mxfp4z": pk.mul_mxfp4z_a16,
                "w4a8": pk.mul_nvfp4_a8, "mxfp4": pk.mul_mxfp4_a16}[fmt]
 
         def fp4_call(a2, b2, s2):
@@ -210,8 +217,8 @@ def main():
     p.add_argument("--shard70b", action="store_true",
                    help="Llama-70B 8-way TP shard shapes instead")
     p.add_argument("--format",
-                   choices=("nvfp4", "mxfp4", "nvfp4p2", "nvfp4p2z", "w4a8",
-                            "hybrid"),
+                   choices=("nvfp4", "mxfp4", "mxfp4z", "nvfp4p2",
+                            "nvfp4p2z", "w4a8", "hybrid"),
                    default="nvfp4")
     p.add_argument("--n1", type=int, default=20)
     p.add_argument("--n2", type=int, default=None)

@@ -27,8 +27,8 @@ from .ops import layout as _layout
 from .ops import gemm as _gemm
 from .ops import solution as _solution
 from .ops.gemm import (mul_nvfp4_a16, mul_mxfp4_a16, mul_nvfp4p2_a16,
-                       mul_nvfp4p2z_a16, mul_nvfp4_a8, mul_mxfp4_a8,
-                       get_fp4_solutions)
+                       mul_nvfp4p2z_a16, mul_mxfp4z_a16, mul_nvfp4_a8,
+                       mul_mxfp4_a8, get_fp4_solutions)
 from .ops.solution import (SolutionId, SolutionHints as PetitSolutionHints,
                            ElementB, MatmulType, default_hints)
 
@@ -88,6 +88,7 @@ __all__ = [
     "mul_mxfp4_a16",
     "mul_nvfp4p2_a16",
     "mul_nvfp4p2z_a16",
+    "mul_mxfp4z_a16",
     "mul_nvfp4_a8",
     "mul_mxfp4_a8",
     "get_fp4_solutions",

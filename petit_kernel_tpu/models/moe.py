@@ -38,11 +38,12 @@ def quantize_moe_linear(ws_kn: np.ndarray, fmt: str = "mxfp4") -> dict:
     """Stack per-expert quantized layers. ws_kn: (E, k, n) dense."""
     E = ws_kn.shape[0]
     words, scales, gss = [], [], []
-    group = 32 if fmt == "mxfp4" else 16
+    group = 32 if fmt in ("mxfp4", "mxfp4z") else 16
     quant = {"nvfp4": ref_numerics.quantize_nvfp4,
              "nvfp4p2": ref_numerics.quantize_nvfp4_pow2,
              "nvfp4p2z": ref_numerics.quantize_nvfp4_pow2z,
-             "mxfp4": ref_numerics.quantize_mxfp4}[fmt]
+             "mxfp4": ref_numerics.quantize_mxfp4,
+             "mxfp4z": ref_numerics.quantize_mxfp4z}[fmt]
     for e in range(E):
         w = np.asarray(ws_kn[e], np.float32).T  # (n, k)
         qw, sc, gs = quant(w)
@@ -112,12 +113,13 @@ def moe_mlp_partial(x: jax.Array, router_w: jax.Array, experts: dict,
     from ..ops.solution import ElementB
 
     def gmul(ys, layer):
-        eb = ElementB.MXFP4 if fmt == "mxfp4" else ElementB.NVFP4
+        eb = (ElementB.MXFP4 if fmt in ("mxfp4", "mxfp4z")
+              else ElementB.NVFP4)
         return grouped_mod.grouped_mul(
             ys, layer["words"], layer["scales"], layer["gs"],
             element_b=eb,
             pow2_scale=fmt in ("nvfp4p2", "nvfp4p2z"),
-            zero_free=fmt == "nvfp4p2z", interpret=interpret)
+            zero_free=fmt in ("nvfp4p2z", "mxfp4z"), interpret=interpret)
 
     g = gmul(xsg, experts["w_gate"])
     u = gmul(xsg, experts["w_up"])

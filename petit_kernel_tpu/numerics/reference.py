@@ -180,9 +180,13 @@ def requantize_nvfp4_pow2(qweights: np.ndarray, scales: np.ndarray,
     return quantize_nvfp4_pow2(deq, zero_free=zero_free)
 
 
-def quantize_mxfp4(w: np.ndarray):
+def quantize_mxfp4(w: np.ndarray, zero_free: bool = False):
     """Quantize dense (n, k) f32 -> (qweights u8 (n,k/2), scales u8 (n,k/32),
-    global_scale f32=1.0). Scale = power-of-two s.t. group amax maps <= 6."""
+    global_scale f32=1.0). Scale = power-of-two s.t. group amax maps <= 6.
+
+    zero_free=True is the "mxfp4z" extension: round to the nearest NONZERO
+    E2M1 magnitude so the kernel can drop the stored-zero flag pipeline
+    (same contract and trade as nvfp4p2z — see quantize_nvfp4_pow2z)."""
     n, k = w.shape
     g = formats.MXFP4_GROUP_SIZE
     assert k % g == 0
@@ -194,8 +198,16 @@ def quantize_mxfp4(w: np.ndarray):
     e = np.ceil(np.log2(gmax / 6.0)).astype(np.int32)
     scales = np.clip(e + 127, 1, 254).astype(np.uint8)
     s_dec = formats.e8m0_decode(scales)
-    q = formats.fp4_encode(wg / s_dec[:, :, None])
+    q = formats.fp4_encode(wg / s_dec[:, :, None], zero_free=zero_free)
     return formats.pack_fp4_pairs(q.reshape(n, k)), scales, np.float32(1.0)
+
+
+def quantize_mxfp4z(w: np.ndarray):
+    """The "mxfp4z" extension: MXFP4 with zero-free value rounding — the
+    MXFP4 analog of quantize_nvfp4_pow2z (E8M0 scales are already pure
+    powers of two, so only the value rounding changes). Halved scale bytes
+    vs NVFP4 put its DMA floor BELOW nvfp4p2z's; gate before adopting."""
+    return quantize_mxfp4(w, zero_free=True)
 
 
 def dequant_fp4_device(qweights, scales, *, fmt: str = "nvfp4"):

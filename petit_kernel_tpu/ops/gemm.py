@@ -214,9 +214,10 @@ def _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
         # no pow2-tuned entry: reuse the NVFP4 tuned/heuristic block shape
         # with the in-kernel scale apply switched to the int path
         sid = dataclasses.replace(sid, pow2_scale=True)
-    if zero_free and sid.pow2_scale and not sid.high_precision:
-        # nvfp4p2z rides the nvfp4p2 tuned entries (same block optima —
-        # the flag removal only shrinks VPU time) with the mask dropped
+    if (zero_free and not sid.high_precision
+            and (sid.pow2_scale or element_b == ElementB.MXFP4)):
+        # nvfp4p2z rides the nvfp4p2 tuned entries, mxfp4z the MXFP4 ones
+        # (same block optima — the flag removal only shrinks VPU time)
         sid = dataclasses.replace(sid, zero_free=True)
     # fp16 activations: TPU MXU is bf16/f32-native; compute in bf16 (or f32
     # with a high-precision solution) and cast back. Documented deviation
@@ -255,6 +256,21 @@ def mul_mxfp4_a16(a, b, s, global_scale, size_m, size_n, size_k,
     gemm_fp4_fp16_grid.cc:79-95)."""
     return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
                 ElementB.MXFP4, interpret=interpret, hints=hints)
+
+
+def mul_mxfp4z_a16(a, b, s, global_scale, size_m, size_n, size_k,
+                   solution_id: int = -1, *, interpret: bool = False,
+                   hints: Optional[SolutionHints] = None):
+    """ZERO-FREE MXFP4 ("mxfp4z", numerics/reference.quantize_mxfp4z):
+    same container as MXFP4, but the tensor contract guarantees no
+    stored-zero codes, so the kernel drops the stored-zero flag/mask
+    pipeline (the same ~18 us non-DMA-hidden VPU cost measured for the
+    NVFP4 pow2 path — tools/tpu_bench.py round 5). With E8M0's halved
+    scale bytes the DMA floor sits BELOW nvfp4p2z's. ONLY valid for
+    quantize_mxfp4z tensors: any stored zero decodes to garbage."""
+    return _mul(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
+                ElementB.MXFP4, interpret=interpret, hints=hints,
+                zero_free=True)
 
 
 def _mul_w4a8(a, b, s, global_scale, size_m, size_n, size_k, solution_id,
@@ -349,7 +365,7 @@ def mul_nvfp4p2z_a16(a, b, s, global_scale, size_m, size_n, size_k,
 def mul_fp4_diff(fmt: str, size_k: int, a, b, s, gs):
     m, n = a.shape[0], b.shape[1]
     mul = {"nvfp4": mul_nvfp4_a16, "nvfp4p2": mul_nvfp4p2_a16,
-           "nvfp4p2z": mul_nvfp4p2z_a16,
+           "nvfp4p2z": mul_nvfp4p2z_a16, "mxfp4z": mul_mxfp4z_a16,
            "w4a8": mul_nvfp4_a8, "mxfp4": mul_mxfp4_a16}[fmt]
     return mul(a, b, s, gs, m, n, size_k, -1)
 

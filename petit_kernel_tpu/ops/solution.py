@@ -88,8 +88,9 @@ class SolutionId:
         assert self.block_k % BLOCK_K_UNIT == 0 and self.block_k > 0
         assert not (self.pow2_scale and self.element_b != ElementB.NVFP4), \
             "pow2_scale is an NVFP4-only fast path (MXFP4 is always pow2)"
-        assert not (self.zero_free and not self.pow2_scale), \
-            "zero_free is a pow2-scale (nvfp4p2z) contract"
+        assert not (self.zero_free and not (
+            self.pow2_scale or self.element_b == ElementB.MXFP4)), \
+            "zero_free is an int-scale-path contract (nvfp4p2z / mxfp4z)"
 
     # 64-bit layout:
     # [zf:1][p2:1][wc:1][m:8][n:10][k:10][element_b:3][mfma:2][hp:1]

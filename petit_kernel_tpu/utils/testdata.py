@@ -31,7 +31,7 @@ def make_gemm_data(m: int, n: int, k: int, fmt: str = "nvfp4",
     rng = np.random.default_rng(seed)
     group = 16 if fmt in ("nvfp4", "nvfp4p2", "nvfp4p2z") else 32
     a = rng.standard_normal((m, k)).astype(np.float32)
-    if fmt == "nvfp4p2z":
+    if fmt in ("nvfp4p2z", "mxfp4z"):
         # zero-free contract: no zero codes (0 = +0, 8 = -0) anywhere
         nib = rng.integers(1, 16, size=(n, k), dtype=np.uint8)
         nib[nib == 8] = 9

@@ -267,3 +267,59 @@ def test_mul_fuzz_shapes_vs_oracle(seed):
                               d.scales, d.global_scale, fmt=fmt)
     np.testing.assert_allclose(np.asarray(c, np.float32), ref,
                                rtol=0.01, atol=0.01)
+
+
+def test_mxfp4z_quantizer_zero_free():
+    """quantize_mxfp4z: no stored-zero codes anywhere (the flag-free
+    kernel contract), E8M0 scales unchanged from quantize_mxfp4."""
+    rng = np.random.default_rng(21)
+    w = rng.standard_normal((64, 256)).astype(np.float32)
+    w[3, :32] = 0.0
+    qw, scales, gs = refn.quantize_mxfp4z(w)
+    nibs = np.concatenate([qw & 0xF, qw >> 4], axis=-1)
+    assert not ((nibs == 0) | (nibs == 8)).any()
+    qw0, scales0, _ = refn.quantize_mxfp4(w)
+    assert np.array_equal(scales, scales0)  # only the value rounding moves
+    deq = refn.dequant_mxfp4(qw, scales) * gs
+    err = np.abs(deq - w).reshape(64, -1, 32)
+    step = refn.formats.e8m0_decode(scales)[..., None].astype(np.float64)
+    assert (err <= np.maximum(step, 1e-6)).all()
+
+
+def test_mul_mxfp4z_matches_mxfp4_kernel_bit_exact():
+    """On zero-free tensors the flag-free MXFP4 kernel must be
+    BIT-IDENTICAL to the masked MXFP4 kernel and match the host oracle."""
+    # 1152/1664 force the repack k-padding (the r5 NaN-wrap regression:
+    # pad scales must be 2^-126, not 0, for the flag-free packed add)
+    for (m, n, k) in [(16, 256, 1024), (5, 128, 2048), (33, 208, 1024),
+                      (16, 256, 1152), (9, 208, 1664)]:
+        d = make_gemm_data(m, n, k, "mxfp4z", seed=m)
+        a = jnp.asarray(d.a, jnp.bfloat16)
+        args = (a, jnp.asarray(d.words), jnp.asarray(d.scales_t),
+                jnp.float32(d.global_scale), m, n, k, -1)
+        c_z = pk.mul_mxfp4z_a16(*args, interpret=True)
+        c_mx = pk.mul_mxfp4_a16(*args, interpret=True)
+        assert np.array_equal(np.asarray(c_z, np.float32),
+                              np.asarray(c_mx, np.float32))
+        got = np.asarray(c_z, np.float32)
+        assert np.isfinite(got).all()
+        ref = refn.gemm_reference(np.asarray(a, np.float32), d.qweights,
+                                  d.scales, d.global_scale, fmt="mxfp4")
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
+        assert rel.max() < 0.02, float(rel.max())
+
+
+def test_mxfp4z_solution_id_and_model():
+    sid = S.SolutionId(16, 128, 1024, S.ElementB.MXFP4, zero_free=True)
+    assert S.SolutionId.from_repr(sid.repr()) == sid
+    with pytest.raises(AssertionError):
+        S.SolutionId(16, 128, 1024, S.ElementB.NVFP4, zero_free=True)
+    from petit_kernel_tpu.models import llama
+    cfg = llama.LlamaConfig.tiny(hidden_size=256, intermediate_size=512)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qp = llama.quantize_params(params, "mxfp4z")
+    toks = jnp.arange(8)[None, :] % cfg.vocab_size
+    dense, _ = llama.forward(params, toks, cfg, interpret=True)
+    quant, _ = llama.forward(qp, toks, cfg, fmt="mxfp4z", interpret=True)
+    agree = (jnp.argmax(dense[0], -1) == jnp.argmax(quant[0], -1)).mean()
+    assert float(agree) >= 0.5, float(agree)

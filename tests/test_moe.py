@@ -197,9 +197,11 @@ def test_mixtral_served_through_engine():
     assert out[0] == want
 
 
-def test_moe_mlp_nvfp4p2z_matches_oracle():
-    """Zero-free pow2 experts through the grouped kernel (flag-free int
-    path) match the dense oracle built from the exact per-shard dequant."""
+@pytest.mark.parametrize("zfmt,group", [("nvfp4p2z", 16), ("mxfp4z", 32)])
+def test_moe_mlp_zero_free_matches_oracle(zfmt, group):
+    """Zero-free experts through the grouped kernel (flag-free int path)
+    match the dense oracle built from their own per-expert dequant —
+    covers both the pow2-NVFP4 and MXFP4 zero-free contracts."""
     rng = np.random.default_rng(4)
     T, H, F, E = 16, 128, 256, 4
     x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
@@ -208,7 +210,7 @@ def test_moe_mlp_nvfp4p2z_matches_oracle():
           for n, (kk, nn) in dict(w_gate=(H, F), w_up=(H, F),
                                   w_down=(F, H)).items()}
     ws["w_gate"][0, :16, 5] = 0.0  # zero-heavy stripe: contract holds
-    qz = {n: moe.quantize_moe_linear(ws[n], "nvfp4p2z") for n in ws}
+    qz = {n: moe.quantize_moe_linear(ws[n], zfmt) for n in ws}
     # zero-free container invariant across every expert (logical region
     # only: padded-k rows legitimately hold zero words)
     from petit_kernel_tpu.ops import layout as L
@@ -224,11 +226,11 @@ def test_moe_mlp_nvfp4p2z_matches_oracle():
         deq = np.stack([
             L.dequant_from_tpu_layout(
                 np.asarray(qz[n]["words"][e]),
-                np.asarray(qz[n]["scales"][e]), nn, kk, group_size=16)
+                np.asarray(qz[n]["scales"][e]), nn, kk, group_size=group)
             for e in range(E_)]) * np.asarray(qz[n]["gs"])[:, None, None]
         dexperts[n] = jnp.asarray(deq, jnp.bfloat16)  # already (E, k, n)
     cfg = MoEConfig(num_experts=E, top_k=2, capacity_factor=2.0)
-    y = moe.moe_mlp(x, router, qz, cfg, fmt="nvfp4p2z", interpret=True)
+    y = moe.moe_mlp(x, router, qz, cfg, fmt=zfmt, interpret=True)
 
     def dense_moe(x, router, dx):
         logits = x.astype(jnp.float32) @ router.astype(jnp.float32)

@@ -101,7 +101,8 @@ def main():
     p.add_argument("--n1", type=int, default=8)
     p.add_argument("--n2", type=int, default=40)
     p.add_argument("--moe-fmt", default="nvfp4",
-                   choices=["nvfp4", "nvfp4p2", "nvfp4p2z", "mxfp4"])
+                   choices=["nvfp4", "nvfp4p2", "nvfp4p2z", "mxfp4",
+                            "mxfp4z"])
     p.add_argument("--engine", action="store_true",
                    help="measure the ACTUAL serving engine (Engine.run "
                         "over make_engine_forward) incl. scheduling + "
@@ -118,7 +119,7 @@ def main():
         num_heads=32, num_kv_heads=8, head_dim=128, rope_theta=1e6,
         max_seq_len=256, num_experts=args.experts, top_k=2)
     rng = np.random.default_rng(0)
-    group = 32 if args.moe_fmt == "mxfp4" else 16
+    group = 32 if args.moe_fmt in ("mxfp4", "mxfp4z") else 16
     params = build(cfg, rng, group,
                    moe_pow2=args.moe_fmt in ("nvfp4p2", "nvfp4p2z"))
     bs = args.bs

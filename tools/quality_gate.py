@@ -215,6 +215,9 @@ def _recon(fmt: str, w: np.ndarray) -> np.ndarray:
     if fmt == "mxfp4":
         qw, s, gs = rn.quantize_mxfp4(w)
         return rn.dequant_mxfp4(qw, s) * gs
+    if fmt == "mxfp4z":
+        qw, s, gs = rn.quantize_mxfp4z(w)
+        return rn.dequant_mxfp4(qw, s) * gs
     raise ValueError(fmt)
 
 
@@ -329,7 +332,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--target-acc", type=float, default=0.93)
-    ap.add_argument("--fmts", default="nvfp4,nvfp4p2,nvfp4p2z,mxfp4,w4a8")
+    ap.add_argument("--fmts",
+                    default="nvfp4,nvfp4p2,nvfp4p2z,mxfp4,mxfp4z,w4a8")
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--tol", type=float, default=0.03,
                     help="max accuracy drop vs bf16 to PASS (reference "
